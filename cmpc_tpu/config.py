@@ -1,0 +1,184 @@
+"""Configuration for the TPU-native centroidal MPC framework.
+
+Two kinds of configuration exist, mirroring the split between what is static at
+trace/compile time and what is batched per scenario:
+
+* :class:`WalkConfig` — a frozen, hashable dataclass of *static* gait/problem
+  structure (horizon length, step durations, solver iteration caps).  Passed as
+  a static argument to ``jax.jit``; changing it triggers recompilation.
+
+* :class:`Scenario` — a pytree of arrays holding everything that varies per
+  batched scenario (gains, masses, disturbance wrenches, velocity commands).
+  ``vmap``/``shard_map`` map over its leading axis.
+
+The numeric defaults reproduce the reference controller's configuration
+(``/root/reference/code/simulation.py:24-44`` params dict and
+``centroidal_mpc_vertices.py:27-60`` gains/foot geometry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Initial foot poses of the HRP-4 model after the reference's initial joint
+# configuration is applied and the robot is centered on the ground
+# (simulation.py:63-77).  The lateral sole offset is a property of the URDF
+# kinematics; recorded from the reference's debug traces
+# (code/Debug/"Pos Lfoot pre trj" row 0).
+DEFAULT_FOOT_Y = 0.10163857612916291
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkConfig:
+    """Static problem structure. Hashable: usable as a jit static argument.
+
+    Mirrors the reference ``params`` dict (simulation.py:24-44) plus the MPC
+    gains that live inline in centroidal_mpc_vertices.py:27-31.
+    """
+
+    g: float = 9.81
+    h: float = 0.72                  # CoM height reference (m)
+    foot_size: float = 0.1           # used by the whole-body ID CoP box
+    step_height: float = 0.02        # swing apex (m)
+    world_time_step: float = 0.01    # control tick (s)
+    ss_duration: int = 70            # single-support ticks
+    ds_duration: int = 30            # double-support ticks
+    first_swing: str = "rfoot"       # foot_id of plan[0] (the dummy step)
+    mu: float = 0.5                  # friction coefficient
+    N: int = 10                      # MPC horizon nodes
+    mpc_rate: int = 1                # solve every `mpc_rate` ticks
+    num_steps: int = 20              # number of footsteps (== len(vref))
+    update_contact: bool = True      # online footstep adaptation on/off
+    com_z_max: float = 0.76          # CoM height ceiling (MPC constraint)
+    knot_y_scale: float = 0.6        # lateral CoM knot shrink factor
+    # Foot polygon (centroidal MPC contact model),
+    # centroidal_mpc_vertices.py:51-60.
+    foot_length: float = 0.25
+    foot_width: float = 0.13
+    # Stance-foot deviation box around reference (x, y, z half-widths),
+    # centroidal_mpc_vertices.py:258-271.
+    stance_box: tuple = (0.01, 0.005, 0.00005)
+    # --- solver structure (new capability; no reference equivalent) ---
+    sqp_iters: int = 3               # SQP (real-time iteration) count per solve
+    admm_iters: int = 50             # ADMM iterations per QP
+    admm_rho: float = 10.0
+    admm_sigma: float = 1e-6
+    admm_alpha: float = 1.6          # over-relaxation
+
+    @property
+    def eta(self) -> float:
+        return float(np.sqrt(self.g / self.h))
+
+    @property
+    def delta(self) -> float:
+        """MPC discretization step (centroidal_mpc_vertices.py:11)."""
+        return self.world_time_step * self.mpc_rate
+
+    @property
+    def total_ticks(self) -> int:
+        """Walk length in control ticks: step 0 lasts ss0+ds0 = 2*(ss+ds),
+        every other step ss+ds (footstep_planner_vertices.py:28-31)."""
+        scale = self.ss_duration + self.ds_duration
+        return 2 * scale + (self.num_steps - 1) * scale
+
+    @property
+    def pad_ticks(self) -> int:
+        """Reference-array length: walk + horizon lookahead + margin."""
+        return self.total_ticks + (self.N + 2) * self.mpc_rate + 8
+
+    # dims of the OCP decision variables
+    @property
+    def n_x(self) -> int:
+        return 20
+
+    @property
+    def n_u(self) -> int:
+        return 32
+
+    @property
+    def n_z(self) -> int:
+        return self.n_x * (self.N + 1) + self.n_u * self.N
+
+
+def default_vref(num_steps: int = 20) -> np.ndarray:
+    """The reference's velocity-command script (simulation.py:97), one
+    (vx, vy, omega) command per footstep."""
+    cmds = ([(0.15, 0.0, 0.0)] * 11 + [(0.13, 0.0, 0.0)] * 4
+            + [(0.10, 0.0, 0.0)] * 2 + [(0.0, 0.0, 0.0)] * 3)
+    out = np.array(cmds, dtype=np.float64)
+    if num_steps != 20:
+        if num_steps < 20:
+            out = out[:num_steps]
+        else:
+            out = np.vstack([out, np.tile(out[-1], (num_steps - 20, 1))])
+    return out
+
+
+class Gains(NamedTuple):
+    """Backstepping gains of the change of coordinates (paper §III;
+    centroidal_mpc_vertices.py:27-31). Arrays so they batch per scenario."""
+
+    k1: jnp.ndarray  # () or (B,)
+    k2: jnp.ndarray
+
+
+class Scenario(NamedTuple):
+    """Per-scenario batched parameters. Every leaf has a leading batch axis
+    when used under vmap (scalars shown as their unbatched shapes).
+
+    The reference has exactly one hard-coded scenario (flat walk + lateral
+    push, simulation.py:195-198) and one payload variant; here scenarios are
+    data.
+    """
+
+    k1: jnp.ndarray                # () backstepping gain
+    k2: jnp.ndarray                # ()
+    mpc_mass: jnp.ndarray          # () mass the MPC model believes (kg)
+    plant_mass: jnp.ndarray        # () true plant mass (payload => heavier)
+    push_force: jnp.ndarray        # (3,) external force (N)
+    push_torque: jnp.ndarray       # (3,) external torque about CoM (N m)
+    push_start: jnp.ndarray        # () tick where the push starts
+    push_end: jnp.ndarray          # () tick where the push ends
+    vref: jnp.ndarray              # (S, 3) unicycle velocity commands
+    init_com: jnp.ndarray          # (3,) initial CoM position
+    init_vel: jnp.ndarray          # (3,) initial CoM velocity
+    foot_y: jnp.ndarray            # () initial lateral sole offset
+
+
+def nominal_scenario(cfg: WalkConfig, mass: float = 40.05,
+                     push: tuple = (0.0, 3.0, 0.0),
+                     push_window: tuple = (801, 899)) -> Scenario:
+    """The reference flat-ground walk: 20 steps, lateral 3 N push for
+    t in (800, 900) (simulation.py:195-198)."""
+    return Scenario(
+        k1=jnp.asarray(4.0),
+        k2=jnp.asarray(0.1),
+        mpc_mass=jnp.asarray(mass),
+        plant_mass=jnp.asarray(mass),
+        push_force=jnp.asarray(push, dtype=jnp.float32),
+        push_torque=jnp.zeros(3, dtype=jnp.float32),
+        push_start=jnp.asarray(push_window[0]),
+        push_end=jnp.asarray(push_window[1]),
+        vref=jnp.asarray(default_vref(cfg.num_steps), dtype=jnp.float32),
+        init_com=jnp.asarray([0.0, 0.0, cfg.h], dtype=jnp.float32),
+        init_vel=jnp.zeros(3, dtype=jnp.float32),
+        foot_y=jnp.asarray(DEFAULT_FOOT_Y),
+    )
+
+
+def payload_scenario(cfg: WalkConfig, mass: float = 40.05,
+                     payload_mass: float = 2.0) -> Scenario:
+    """The payload variant: a 2 kg box lands on the robot (box.urdf:14),
+    the MPC keeps its nominal mass model, gains k1=7, k2=1
+    (centroidal_mpc_vertices_payload.py:27-31)."""
+    base = nominal_scenario(cfg, mass=mass, push=(0.0, 0.0, 0.0),
+                            push_window=(0, 0))
+    return base._replace(
+        k1=jnp.asarray(7.0),
+        k2=jnp.asarray(1.0),
+        plant_mass=jnp.asarray(mass + payload_mass),
+    )

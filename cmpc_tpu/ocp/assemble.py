@@ -1,0 +1,72 @@
+"""Per-tick assembly of MPC parameters from precomputed reference arrays.
+
+This is the functional equivalent of the parameter-update half of the
+reference's solve() (centroidal_mpc_vertices.py:480-600): pack the measured
+state into x0 (with the stance-position override), slice the CoM/contact
+references over the horizon at t + (1+i)*mpc_rate, and gather the contact
+gates Gamma over t + i*mpc_rate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from cmpc_tpu.config import WalkConfig
+from cmpc_tpu.models import centroidal as cm
+from cmpc_tpu.ocp.problem import MPCParams
+from cmpc_tpu.plan.com_ref import ComRef
+from cmpc_tpu.plan.footsteps import FootstepPlan
+from cmpc_tpu.plan.timing import GaitTiming
+
+
+class RefArrays(NamedTuple):
+    """Per-scenario precomputed reference arrays (length P ticks)."""
+
+    com: ComRef
+    pose_ref_l: jnp.ndarray  # (P, 6) [ang, pos] from the *initial* plan
+    pose_ref_r: jnp.ndarray  # (P, 6)
+
+
+def pack_x0(com_pos, com_vel, hw, theta_hat, pose_l, pose_r,
+            t, plan: FootstepPlan, refs: RefArrays, timing: GaitTiming):
+    """Measured-state packing with the reference's quirks
+    (centroidal_mpc_vertices.py:482-509):
+
+    * foot yaw from the measured pose's ang-z, foot z forced to 0;
+    * both feet's positions replaced by the stance override — the static
+      per-tick contact ref before the first-step cutoff, the *live* plan
+      (parity-indexed at t - ss_duration) after.
+    """
+    from_table = jnp.asarray(timing.stance_from_table)[t]
+    sl = jnp.asarray(timing.stance_left_idx)[t]
+    sr = jnp.asarray(timing.stance_right_idx)[t]
+    stance_l = jnp.where(from_table, refs.pose_ref_l[t, 3:6], plan.pos[sl])
+    stance_r = jnp.where(from_table, refs.pose_ref_r[t, 3:6], plan.pos[sr])
+
+    return jnp.concatenate([
+        com_pos, com_vel, hw, theta_hat,
+        pose_l[2][None], stance_l,
+        pose_r[2][None], stance_r,
+    ])
+
+
+def gather_params(t, x0, refs: RefArrays, timing: GaitTiming,
+                  cfg: WalkConfig, k1, k2, mass) -> MPCParams:
+    N, rate = cfg.N, cfg.mpc_rate
+    idx = t + (1 + jnp.arange(N)) * rate              # nodes 1..N
+    com_ref = jnp.concatenate([refs.com.pos[idx], refs.com.vel[idx],
+                               refs.com.acc[idx]], axis=-1)
+    gidx = t + jnp.arange(N + 1) * rate
+    return MPCParams(
+        x0=x0,
+        com_ref=com_ref,
+        pos_ref_l=refs.pose_ref_l[idx, 3:6],
+        pos_ref_r=refs.pose_ref_r[idx, 3:6],
+        yaw_ref_l=refs.pose_ref_l[idx, 2],
+        yaw_ref_r=refs.pose_ref_r[idx, 2],
+        gamma_l=jnp.asarray(timing.gamma_l)[gidx],
+        gamma_r=jnp.asarray(timing.gamma_r)[gidx],
+        k1=k1, k2=k2, mass=mass,
+    )
