@@ -55,6 +55,15 @@ class WalkConfig:
     update_contact: bool = True      # online footstep adaptation on/off
     com_z_max: float = 0.76          # CoM height ceiling (MPC constraint)
     knot_y_scale: float = 0.6        # lateral CoM knot shrink factor
+    # The reference samples spline velocity as dY/dtau (no time scaling) and
+    # acceleration as d2Y/dtau2 / ticks^2 (functions.py:212-248).  On the
+    # 100-tick segments (1 s) velocity happens to coincide with m/s, but on
+    # the 200-tick first segment it is 2x too large — the backstepping z2
+    # then chases an infeasible lateral velocity and the robot capsizes
+    # during the long initial double support.  True selects physically
+    # consistent units (identical to the reference on all 1 s segments);
+    # False reproduces the reference bit-for-bit.
+    physical_ref_units: bool = True
     # Foot polygon (centroidal MPC contact model),
     # centroidal_mpc_vertices.py:51-60.
     foot_length: float = 0.25
@@ -64,8 +73,9 @@ class WalkConfig:
     stance_box: tuple = (0.01, 0.005, 0.00005)
     # --- solver structure (new capability; no reference equivalent) ---
     sqp_iters: int = 3               # SQP (real-time iteration) count per solve
-    admm_iters: int = 50             # ADMM iterations per QP
-    admm_rho: float = 10.0
+    sqp_prox: float = 20.0           # proximal damping of each SQP QP
+    admm_iters: int = 20             # ADMM iterations per QP (before PDAS)
+    admm_rho: float = 0.1
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6          # over-relaxation
 

@@ -41,12 +41,40 @@ class SolveInfo(NamedTuple):
     lyap_violation: jnp.ndarray  # max positive Lyapunov constraint value
 
 
-def init_solver_state(cfg: WalkConfig, x0=None) -> SolverState:
+def init_solver_state(cfg: WalkConfig, x0=None, mass=None) -> SolverState:
+    """Cold-start iterate: constant state trajectory at x0 and hover forces
+    (mg/8 per contact vertex).  A physically plausible linearization point —
+    SQP with full steps oscillates when started from all-zeros because the
+    bilinear momentum dynamics linearize degenerately there."""
     z = jnp.zeros(cfg.n_z)
     if x0 is not None:
         X = jnp.tile(x0, (cfg.N + 1, 1))
         z = z.at[: (cfg.N + 1) * 20].set(X.reshape(-1))
+    nX = 20 * (cfg.N + 1)
+    fz = (jnp.asarray(40.0) if mass is None else jnp.asarray(mass)) \
+        * cfg.g / 8.0
+    U = jnp.zeros((cfg.N, 32))
+    U = U.at[:, 2:24:3].set(fz)
+    z = z.at[nX:].set(U.reshape(-1))
     return SolverState(z=z, y=jnp.zeros(problem.num_constraints(cfg)))
+
+
+def _rollout_X(x0, U, params: problem.MPCParams, cfg: WalkConfig):
+    """Integrate the dynamics from x0 under U — produces a state trajectory
+    with exactly zero dynamics residual (the RTI 'rollout' re-basing)."""
+    from cmpc_tpu.models import centroidal as cm
+    polygon = cm.foot_polygon(cfg.foot_length, cfg.foot_width)
+
+    def step(x, inp):
+        r, gl, gr, u = inp
+        xn = cm.euler_step(x, r, gl, gr, u, params.k1, params.k2,
+                           params.mass, cfg.g, polygon, cfg.delta)
+        return xn, xn
+
+    _, X_tail = jax.lax.scan(
+        step, x0, (params.com_ref, params.gamma_l[:cfg.N],
+                   params.gamma_r[:cfg.N], U))
+    return jnp.concatenate([x0[None], X_tail], axis=0)
 
 
 def solve_mpc(state: SolverState, params: problem.MPCParams,
@@ -59,15 +87,52 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     settings = ADMMSettings(iters=cfg.admm_iters, rho=cfg.admm_rho,
                             sigma=cfg.admm_sigma, alpha=cfg.admm_alpha)
 
-    z, y = state.z, state.y
+    # Re-base the warm start: keep the carried U, integrate X from the new
+    # x0 so the dynamics rows start exactly feasible.  Without this the
+    # bilinear momentum rows leave an O(1) residual that full SQP steps
+    # cannot remove (the L1 merit then rejects every step).
+    _, U_ws = problem.split_z(state.z, cfg)
+    X_ws = _rollout_X(params.x0, U_ws, params, cfg)
+    z = problem.join_z(X_ws, U_ws)
+    y = state.y
     con = lambda zz: problem.constraints(zz, params, cfg)
+
+    def merit(zz):
+        """L1 exact-penalty merit on the *nonlinear* constraints.  Full-step
+        SQP oscillates on this problem (bilinear momentum dynamics +
+        indefinite Lyapunov rows); a 3-point backtracking pick is enough to
+        globalize it and stays branch-free for batching."""
+        c = con(zz)
+        viol = jnp.sum(jnp.maximum(c - u_c, 0.0)
+                       + jnp.maximum(l_c - c, 0.0))
+        return problem.cost_value(zz, params, cfg) + 1e4 * viol
+
     r_prim = r_dual = jnp.asarray(0.0)
     for _ in range(cfg.sqp_iters):
         c = con(z)
         J = jax.jacfwd(con)(z)
-        b = J @ z - c
-        res = admm_solve(P, q, J, l_c + b, u_c + b, z, y, settings)
-        z, y = res.x, res.y
+        b = jnp.matmul(J, z, precision=jax.lax.Precision.HIGHEST) - c
+        # proximal (Levenberg-style) damping around the current iterate:
+        # bounds the step so the bilinear momentum rows stay within their
+        # linearization's validity region
+        lam = cfg.sqp_prox
+        res = admm_solve(P + lam * jnp.eye(cfg.n_z), q - lam * z,
+                         J, l_c + b, u_c + b, z, y, settings)
+        dz = jnp.nan_to_num(res.x - z, nan=0.0, posinf=0.0, neginf=0.0)
+        # alpha = 0 is always a candidate: a QP step that worsens the merit
+        # is rejected outright, so a bad solve can never inject garbage
+        # into the warm-start loop (the per-scenario failure-containment
+        # the reference lacks — it crashes instead, SURVEY.md §5).
+        alphas = (1.0, 0.5, 0.25, 0.0)
+        cands = jnp.stack([z + a * dz for a in alphas])
+        merits = jax.vmap(merit)(cands)
+        best = jnp.argmin(jnp.nan_to_num(merits, nan=jnp.inf))
+        z = cands[best]
+        # keep the old dual when the step was rejected; clamp to keep the
+        # PDAS penalty duals from compounding across ticks
+        accepted = best < len(alphas) - 1
+        y_new = jnp.clip(jnp.nan_to_num(res.y), -1e5, 1e5)
+        y = jnp.where(accepted, y_new, y)
         r_prim, r_dual = res.r_prim, res.r_dual
 
     c_final = con(z)

@@ -1,0 +1,119 @@
+"""Scenario-parallel execution over device meshes.
+
+The reference is strictly single-process/single-thread (SURVEY.md §2.5); all
+parallelism here is new capability.  Scenarios shard over a 1-D "batch" mesh
+axis: `shard_map` runs the vmapped closed loop per shard, and summary
+statistics reduce over ICI with `jax.lax` collectives — the TPU-native
+replacement for a distributed communication backend.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and the
+same code spans hosts (DCN) transparently via the global device list.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmpc_tpu.config import Scenario, WalkConfig
+from cmpc_tpu.sim import closed_loop
+
+
+def make_mesh(devices=None, axis: str = "batch") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class SweepStats(NamedTuple):
+    """Collective summary over a scenario sweep (psum-reduced over ICI)."""
+
+    n: jnp.ndarray                 # scenario count
+    com_rmse_xy: jnp.ndarray       # mean RMSE of CoM xy tracking
+    max_tilt: jnp.ndarray          # max |com_xy - ref_xy| over the sweep
+    fall_rate: jnp.ndarray         # fraction with tracking blowup (> 0.3 m)
+    mean_lyap_violation: jnp.ndarray
+    mean_r_prim: jnp.ndarray
+
+
+def _summarize(tr: closed_loop.Trace):
+    err = jnp.linalg.norm(tr.com_pos[:, :2] - tr.com_ref[:, :2], axis=-1)
+    rmse = jnp.sqrt(jnp.mean(err ** 2))
+    return rmse, jnp.max(err), (jnp.max(err) > 0.3).astype(jnp.float32), \
+        jnp.mean(tr.lyap_violation), jnp.mean(tr.r_prim)
+
+
+def sweep(scenarios: Scenario, cfg: WalkConfig, T_sim: int,
+          mesh: Mesh | None = None, axis: str = "batch") -> SweepStats:
+    """Run a batched scenario sweep sharded over the mesh; returns
+    psum-reduced statistics.  `scenarios` leaves must have a leading batch
+    axis divisible by the mesh size."""
+    mesh = mesh or make_mesh(axis=axis)
+
+    # check_vma=False: parts of the QP data (e.g. the cost Hessian built
+    # from static timing tables) are device-invariant while solver iterates
+    # vary per shard; the strict varying-axes type check rejects mixing them
+    # in one fori_loop carry.
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+             check_vma=False)
+    def run(shard: Scenario) -> SweepStats:
+        _, tr = jax.vmap(lambda s: closed_loop.rollout(s, cfg, T_sim))(shard)
+        rmse, maxe, fell, lyap, rprim = jax.vmap(_summarize)(tr)
+        n_local = jnp.asarray(rmse.shape[0], jnp.float32)
+        n = jax.lax.psum(n_local, axis)
+        return SweepStats(
+            n=n,
+            com_rmse_xy=jax.lax.psum(jnp.sum(rmse), axis) / n,
+            max_tilt=jax.lax.pmax(jnp.max(maxe), axis),
+            fall_rate=jax.lax.psum(jnp.sum(fell), axis) / n,
+            mean_lyap_violation=jax.lax.psum(jnp.sum(lyap), axis) / n,
+            mean_r_prim=jax.lax.psum(jnp.sum(rprim), axis) / n,
+        )
+
+    return jax.jit(run)(scenarios)
+
+
+def shard_scenarios(scenarios: Scenario, mesh: Mesh,
+                    axis: str = "batch") -> Scenario:
+    """Place a batched Scenario with its leading axis sharded on the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), scenarios)
+
+
+def make_batch(cfg: WalkConfig, n: int, seed: int = 0,
+               push_scale: float = 10.0,
+               payload_max: float = 3.0) -> Scenario:
+    """A randomized robustness batch: lateral/sagittal pushes, payload
+    masses, gain variations — the Monte-Carlo envelope of the reference's
+    two hand-built scenarios (BASELINE.json configs 3-5)."""
+    from cmpc_tpu.config import nominal_scenario
+    rng = np.random.default_rng(seed)
+    base = nominal_scenario(cfg)
+
+    def tile(x):
+        return jnp.broadcast_to(jnp.asarray(x), (n,) + jnp.shape(jnp.asarray(x)))
+
+    push = rng.normal(size=(n, 3)) * np.array([push_scale, push_scale, 0.0])
+    start = rng.integers(300, 1200, size=n)
+    dur = rng.integers(50, 150, size=n)
+    payload = rng.uniform(0.0, payload_max, size=n)
+    k1 = np.where(payload > 1.0, 7.0, 4.0)
+    k2 = np.where(payload > 1.0, 1.0, 0.1)
+    return Scenario(
+        k1=jnp.asarray(k1, jnp.float32),
+        k2=jnp.asarray(k2, jnp.float32),
+        mpc_mass=tile(base.mpc_mass),
+        plant_mass=jnp.asarray(40.05 + payload, jnp.float32),
+        push_force=jnp.asarray(push, jnp.float32),
+        push_torque=jnp.zeros((n, 3), jnp.float32),
+        push_start=jnp.asarray(start),
+        push_end=jnp.asarray(start + dur),
+        vref=tile(base.vref),
+        init_com=tile(base.init_com),
+        init_vel=tile(base.init_vel),
+        foot_y=tile(base.foot_y),
+    )

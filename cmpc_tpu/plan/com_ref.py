@@ -102,7 +102,16 @@ def _spline_statics(cfg: WalkConfig):
         bvel = np.stack([np.zeros(L), np.ones(L), 2 * tau, 3 * tau**2,
                          4 * tau**3, 5 * tau**4], 1)
         bacc = np.stack([np.zeros(L), np.zeros(L), 2 * np.ones(L), 6 * tau,
-                         12 * tau**2, 20 * tau**3], 1) / length[:, None]**2
+                         12 * tau**2, 20 * tau**3], 1)
+        if cfg.physical_ref_units:
+            # d/dt = d/dtau / (segment duration in seconds)
+            secs = length * cfg.world_time_step
+            bvel = bvel / secs[:, None]
+            bacc = bacc / secs[:, None] ** 2
+        else:
+            # reference quirk: velocity is d/dtau, acceleration is
+            # d2/dtau2 divided by the segment length in *ticks* squared
+            bacc = bacc / length[:, None] ** 2
         return seg.astype(np.int32), bpos, bvel, bacc
 
     return n, W, bases(tuple(seq_x)), bases(tuple(seq_y))
