@@ -36,11 +36,12 @@ VEL_GAINS = dict(lfoot=5.0, rfoot=5.0, com=10.0, torso=5.0, base=3.0,
 
 
 class IDTask(NamedTuple):
-    """One task's data: Jacobian, its time derivative, feedforward
-    acceleration, position and velocity errors."""
+    """One task's data: Jacobian, the velocity-product term Jdot @ qv (the
+    bias acceleration — cheaper to compute than the Jdot matrix itself),
+    feedforward acceleration, position and velocity errors."""
 
     J: jnp.ndarray        # (k, n_dof)
-    Jdot: jnp.ndarray     # (k, n_dof)
+    Jdot_qv: jnp.ndarray  # (k,)
     ff: jnp.ndarray       # (k,)
     pos_err: jnp.ndarray  # (k,)
     vel_err: jnp.ndarray  # (k,)
@@ -81,7 +82,7 @@ def solve_id_qp(tasks: dict, dyn: IDDynamics, qdot, contact_l, contact_r,
         t = tasks[name]
         w, kp, kv = WEIGHTS[name], POS_GAINS[name], VEL_GAINS[name]
         Ht = w * _mm(t.J.T, t.J)
-        target = t.ff + kv * t.vel_err + kp * t.pos_err - _mm(t.Jdot, qdot)
+        target = t.ff + kv * t.vel_err + kp * t.pos_err - t.Jdot_qv
         Ft = -w * _mm(t.J.T, target)
         H = H.at[qdd, qdd].add(Ht)
         F = F.at[qdd].add(Ft)
