@@ -78,6 +78,9 @@ class WalkConfig:
     admm_rho: float = 0.1
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6          # over-relaxation
+    # matmul-only normal-equations ADMM: the MPC QP's scaled normal matrix
+    # is f32-friendly, so the MXU fast path applies (ops/admm.py)
+    admm_kkt_form: bool = False
 
     @property
     def eta(self) -> float:

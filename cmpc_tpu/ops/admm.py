@@ -6,12 +6,23 @@ The TPU-native replacement for the reference's native QP/NLP backends
     min 1/2 x^T P x + q^T x    s.t.  l <= A x <= u
 
 with the operator-splitting scheme of OSQP (Stellato et al., 2020):
-modified Ruiz equilibration, one dense factorization of
-(P + sigma*I + A^T diag(rho) A) per call, then fixed-count matrix-vector
-iterations — every step is a batched matmul, so thousands of scenarios run
-in lockstep on the MXU under vmap with no data-dependent control flow
+modified Ruiz equilibration, one LU factorization of the **KKT-form**
+system per call, then fixed-count iterations — every scenario runs in
+lockstep on the device under vmap with no data-dependent control flow
 (fixed iteration count instead of a tolerance exit keeps the batch
 converged together; SURVEY.md §7 hard part #3).
+
+f32-first numerics (TPU native precision):
+
+* The linear system is solved in KKT form  [[P+sI, A^T], [A, -1/rho]]
+  like OSQP itself, NOT via the normal equations P + sI + A^T rho A.
+  Forming A^T rho A squares the condition number — measured 1.2e11 vs
+  5e4 for the KKT form on the whole-body ID QP — which is fatal in f32
+  (the pre-KKT version produced 1e17 torques on TPU while passing all
+  f64 CPU tests).
+* sigma = 1e-4 (not OSQP's 1e-6): the splitting iteration absorbs the
+  proximal bias, and the larger sigma caps the KKT condition number.
+* One iterative-refinement step per solve backstops LU in f32.
 
 Equality rows (l == u) get a 1e3-boosted rho, matching OSQP's default
 treatment.  Ruiz scaling is essential here: the MPC mixes ~1e2 N contact
@@ -26,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
 
 # QP iterations need true fp32 accumulation: on TPU the default matmul
 # precision demotes f32 operands to bf16 multiplies, which stalls ADMM
@@ -36,21 +48,32 @@ _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 class ADMMSettings(NamedTuple):
     iters: int = 50
     rho: float = 10.0
-    sigma: float = 1e-6
+    sigma: float = 1e-4
     alpha: float = 1.6
     eq_rho_scale: float = 1e3
     ruiz_iters: int = 10
+    refine_steps: int = 1
+    # kkt_form=True: LU-factored KKT system — condition-robust (required
+    # for the whole-body ID QP in f32, whose normal equations reach cond
+    # 1e11) but the triangular solves serialize poorly on the MXU.
+    # kkt_form=False: one explicit inverse of the (Ruiz-scaled) normal
+    # matrix P + sI + A' rho A; every iteration is a pure matmul — the
+    # fast path for QPs whose scaled normal matrix stays f32-friendly
+    # (the centroidal MPC QP: measured cond ~1e5 after scaling).
+    kkt_form: bool = True
     # Primal-dual active-set (PDAS) refinement, batched: each round guesses
     # the active set from (x, y) with the semismooth-Newton rule
     # act_u = {y + c(Ax-u) > 0}, act_l = {y + c(Ax-l) < 0}, then re-solves
-    # with active rows enforced by a large quadratic penalty (a fixed-shape
-    # stand-in for the exact equality KKT solve — active-set sizes differ
-    # per scenario, so the penalty keeps every scenario on one dense
-    # factorization shape).  Converges in ~3 rounds on the MPC QPs and can
-    # both add and release rows; the ADMM phase supplies a sane (x, y).
+    # the KKT system with active rows enforced by a large-weight penalty
+    # (a fixed-shape stand-in for the exact equality KKT solve —
+    # active-set sizes differ per scenario, so the penalty keeps every
+    # scenario on one dense factorization shape).  Converges in ~3 rounds
+    # on the MPC QPs and can both add and release rows; the ADMM phase
+    # supplies a sane (x, y).
     pdas_rounds: int = 3
     pdas_weight: float = 1e5
     pdas_c: float = 1.0
+    pdas_eps: float = 1e-6
 
 
 class ADMMResult(NamedTuple):
@@ -97,6 +120,15 @@ def _ruiz(P, q, A, l, u, iters: int):
     return P, q, A, E * l, E * u, D, E, c
 
 
+def _kkt_solve(K, lu_piv, rhs, refine_steps: int):
+    """LU solve with fixed-count iterative refinement (f32 backstop)."""
+    s = lu_solve(lu_piv, rhs)
+    for _ in range(refine_steps):
+        r = rhs - _mm(K, s)
+        s = s + lu_solve(lu_piv, r)
+    return s
+
+
 def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
     """One QP solve. All inputs are per-scenario (vmap over a batch axis).
 
@@ -104,6 +136,7 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
     """
     P0, q0, A0 = P, q, A
     P, q, A, l, u, D, E, c = _ruiz(P, q, A, l, u, settings.ruiz_iters)
+    n, m = P.shape[0], A.shape[0]
 
     x = x0 / D
     y = c * y0 / E
@@ -114,35 +147,51 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
     sigma = settings.sigma
     alpha = settings.alpha
 
-    M = P + sigma * jnp.eye(P.shape[0]) + _mm(A.T * rho, A)
-    # One dense factorization per solve; explicit inverse so that the fixed
-    # ADMM iterations are pure matmuls (batched well on the MXU).
-    Minv = jnp.linalg.inv(M)
-
     zc = jnp.clip(_mm(A, x), l, u)
 
-    def body(_, carry):
-        x, zc, y = carry
-        rhs = sigma * x - q + _mm(A.T, rho * zc - y)
-        xt = _mm(Minv, rhs)
-        axt = _mm(A, xt)
-        x_new = alpha * xt + (1 - alpha) * x
-        zt = alpha * axt + (1 - alpha) * zc
-        z_new = jnp.clip(zt + y / rho, l, u)
-        y_new = y + rho * (zt - z_new)
-        return (x_new, z_new, y_new)
+    if settings.kkt_form:
+        # KKT-form coefficient matrix (OSQP eq. 15); factored once/solve.
+        K = jnp.block([[P + sigma * jnp.eye(n), A.T],
+                       [A, -jnp.diag(1.0 / rho)]])
+        lu_piv = lu_factor(K)
+
+        def body(_, carry):
+            x, zc, y = carry
+            rhs = jnp.concatenate([sigma * x - q, zc - y / rho])
+            s = _kkt_solve(K, lu_piv, rhs, settings.refine_steps)
+            xt, nu = s[:n], s[n:]
+            zt_kkt = zc + (nu - y) / rho
+            x_new = alpha * xt + (1 - alpha) * x
+            zt = alpha * zt_kkt + (1 - alpha) * zc
+            z_new = jnp.clip(zt + y / rho, l, u)
+            y_new = y + rho * (zt - z_new)
+            return (x_new, z_new, y_new)
+    else:
+        # normal-equations fast path: matmul-only iterations on the MXU
+        Mn = P + sigma * jnp.eye(n) + _mm(A.T * rho, A)
+        Minv = jnp.linalg.inv(Mn)
+
+        def body(_, carry):
+            x, zc, y = carry
+            rhs = sigma * x - q + _mm(A.T, rho * zc - y)
+            xt = _mm(Minv, rhs)
+            axt = _mm(A, xt)
+            x_new = alpha * xt + (1 - alpha) * x
+            zt = alpha * axt + (1 - alpha) * zc
+            z_new = jnp.clip(zt + y / rho, l, u)
+            y_new = y + rho * (zt - z_new)
+            return (x_new, z_new, y_new)
 
     x, zc, y = jax.lax.fori_loop(0, settings.iters, body, (x, zc, y))
 
-    # ---- PDAS refinement rounds ----
+    # ---- PDAS refinement rounds (KKT form) ----
     fin_l = jnp.isfinite(l)
     fin_u = jnp.isfinite(u)
     w_act = settings.pdas_weight
     cpen = settings.pdas_c
     free = ~is_eq
 
-    def pdas_round(carry, _):
-        xp, yp = carry
+    def _active_set(xp, yp):
         ax = _mm(A, xp)
         act_u = fin_u & free & (yp + cpen * (ax - u) > 0)
         act_l = fin_l & free & (yp + cpen * (ax - l) < 0)
@@ -150,11 +199,34 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
         tgt = jnp.where(is_eq, jnp.where(fin_l, l, 0.0),
                         jnp.where(act_u, jnp.where(fin_u, u, 0.0),
                                   jnp.where(fin_l, l, 0.0)))
-        W = jnp.where(act, w_act, 0.0)
-        Mp = P + 1e-7 * jnp.eye(P.shape[0]) + _mm(A.T * W, A)
-        xp = jnp.linalg.solve(Mp, -q + _mm(A.T, W * tgt))
-        yp = W * (_mm(A, xp) - tgt)
-        return (xp, yp), None
+        return act, tgt
+
+    if settings.kkt_form:
+        def pdas_round(carry, _):
+            xp, yp = carry
+            act, tgt = _active_set(xp, yp)
+            actf = act.astype(x.dtype)
+            # active rows: near-equality (diag -1/w_act); inactive rows:
+            # decoupled (masked A row, diag -1 => nu = 0)
+            Aact = A * actf[:, None]
+            diag = -(actf / w_act + (1.0 - actf))
+            Kp = jnp.block([[P + settings.pdas_eps * jnp.eye(n), Aact.T],
+                            [Aact, jnp.diag(diag)]])
+            lup = lu_factor(Kp)
+            rhs = jnp.concatenate([-q, actf * tgt])
+            s = _kkt_solve(Kp, lup, rhs, settings.refine_steps)
+            xp = s[:n]
+            yp = s[n:] * actf
+            return (xp, yp), None
+    else:
+        def pdas_round(carry, _):
+            xp, yp = carry
+            act, tgt = _active_set(xp, yp)
+            W = jnp.where(act, w_act, 0.0)
+            Mp = P + 1e-7 * jnp.eye(n) + _mm(A.T * W, A)
+            xp = jnp.linalg.solve(Mp, -q + _mm(A.T, W * tgt))
+            yp = W * (_mm(A, xp) - tgt)
+            return (xp, yp), None
 
     if settings.pdas_rounds > 0:
         (xp, yp), _ = jax.lax.scan(pdas_round, (x, y), None,

@@ -48,21 +48,24 @@ def update(model: KalmanModel, s: KalmanState, z) -> KalmanState:
     return KalmanState(x=x, P=P)
 
 
-def lip_kalman_model(eta: float, delta: float,
+def lip_kalman_model(eta: float, delta: float, g: float = 9.81,
                      q_pos=1e-4, q_vel=1e-3, q_zmp=1e-4,
                      r_pos=1e-4, r_vel=1e-2, r_zmp=1e-2) -> KalmanModel:
     """Block-diagonal 9-dim LIP filter model, one (com, com_dot, zmp) block
-    per axis, matching the wiring at original_code/simulation.py:103-131."""
+    per axis, matching the wiring at original_code/simulation.py:103-131
+    (including the -g*delta drift on the vertical velocity, :106)."""
     import numpy as np
     A1 = np.array([[1.0, delta, 0.0],
                    [eta ** 2 * delta, 1.0, -eta ** 2 * delta],
                    [0.0, 0.0, 1.0]])
     B1 = np.array([[0.0], [0.0], [delta]])
     blk = lambda M: np.kron(np.eye(3), M)
+    d = np.zeros(9)
+    d[7] = -delta * g
     return KalmanModel(
         A=jnp.asarray(blk(A1)),
         B=jnp.asarray(np.kron(np.eye(3), B1)),
-        d=jnp.zeros(9),
+        d=jnp.asarray(d),
         H=jnp.asarray(np.eye(9)),
         Q=jnp.asarray(blk(np.diag([q_pos, q_vel, q_zmp]))),
         R=jnp.asarray(blk(np.diag([r_pos, r_vel, r_zmp]))),

@@ -85,7 +85,8 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     l_c, u_c = jnp.asarray(l_c), jnp.asarray(u_c)
     P, q = problem.cost_quadratic(params, cfg)
     settings = ADMMSettings(iters=cfg.admm_iters, rho=cfg.admm_rho,
-                            sigma=cfg.admm_sigma, alpha=cfg.admm_alpha)
+                            sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+                            kkt_form=cfg.admm_kkt_form)
 
     # Re-base the warm start: keep the carried U, integrate X from the new
     # x0 so the dynamics rows start exactly feasible.  Without this the

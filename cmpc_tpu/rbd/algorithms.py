@@ -28,12 +28,31 @@ traces compare directly with the reference.)
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from cmpc_tpu.rbd.urdf import RobotModel
 from cmpc_tpu.utils.rotations import hat, rotvec_to_matrix
+
+
+def _highp(fn):
+    """Force true-f32 matmuls inside `fn`.
+
+    On TPU the default matmul precision demotes f32 operands to bf16
+    multiplies.  Kinematics cannot tolerate that: FK composes ~25 rotation
+    matrices in a chain (bf16 => ~1e-2 orientation error at the feet), and
+    the resulting noise in M/h/Jacobians destabilized the whole-body
+    closed loop on TPU while the identical f32 program was stable on CPU.
+    These are 3x3 / 30x30 products — HIGHEST precision costs nothing
+    measurable here."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
 
 
 class RobotQ(NamedTuple):
@@ -68,6 +87,7 @@ def _axis_angle(axis, theta):
             + (1.0 - jnp.cos(theta)) * (K @ K))
 
 
+@_highp
 def fk(model: RobotModel, q: RobotQ) -> FK:
     """Forward kinematics over the static tree (unrolled at trace time)."""
     T_tree = jnp.asarray(model.T_tree)
@@ -95,6 +115,7 @@ def fk(model: RobotModel, q: RobotQ) -> FK:
     return FK(R=R, p=p, axis_w=jnp.stack(axis_w), com_w=com_w, I_w=I_w)
 
 
+@_highp
 def point_jacobian(model: RobotModel, f: FK, body_idx: int, point_w):
     """6 x nv world Jacobian [angular; linear] of a point rigidly attached
     to body body_idx (static index). Matches DART's
@@ -113,6 +134,7 @@ def point_jacobian(model: RobotModel, f: FK, body_idx: int, point_w):
     return jnp.concatenate([Jang, Jlin], axis=0)
 
 
+@_highp
 def _body_com_jacobians(model: RobotModel, f: FK):
     """(nb, 6, nv) stacked [angular; linear-at-com] Jacobians of every
     movable body — the common factor of M, h, and the centroidal maps."""
@@ -138,6 +160,7 @@ def _body_com_jacobians(model: RobotModel, f: FK):
     return jnp.concatenate([Jang, Jlin], axis=1)
 
 
+@_highp
 def mass_matrix(model: RobotModel, f: FK):
     """Joint-space inertia matrix M(q), (nv, nv). DART: getMassMatrix()."""
     J = _body_com_jacobians(model, f)                         # (nb,6,nv)
@@ -155,6 +178,7 @@ class Vel(NamedTuple):
     v_com: jnp.ndarray      # (nb,3)
 
 
+@_highp
 def velocities(model: RobotModel, f: FK, qv) -> Vel:
     """Propagate body velocities down the static tree."""
     om = [qv[0:3]]
@@ -177,6 +201,7 @@ class BiasAcc(NamedTuple):
     a_origin: jnp.ndarray   # (nb,3) classical acceleration of body origins
 
 
+@_highp
 def bias_accelerations(model: RobotModel, f: FK, vel: Vel, qv) -> BiasAcc:
     """Propagate qdd=0 (velocity-product) accelerations down the tree."""
     al = [jnp.zeros(3)]
@@ -192,6 +217,7 @@ def bias_accelerations(model: RobotModel, f: FK, vel: Vel, qv) -> BiasAcc:
     return BiasAcc(alpha=jnp.stack(al), a_origin=jnp.stack(ao))
 
 
+@_highp
 def site_bias_acc(model: RobotModel, f: FK, vel: Vel, bias: BiasAcc,
                   site: str):
     """(alpha(3), a(3)) of a named site with qdd = 0: the Jdot qv terms the
@@ -204,6 +230,7 @@ def site_bias_acc(model: RobotModel, f: FK, vel: Vel, bias: BiasAcc,
     return bias.alpha[idx], a
 
 
+@_highp
 def com_bias_acc(model: RobotModel, f: FK, vel: Vel, bias: BiasAcc):
     """CoM linear acceleration with qdd = 0 (DART
     getCOMLinearJacobianDeriv @ qv)."""
@@ -214,6 +241,7 @@ def com_bias_acc(model: RobotModel, f: FK, vel: Vel, bias: BiasAcc):
     return jnp.einsum("b,bi->i", m, a_com) / model.total_mass
 
 
+@_highp
 def bias_forces(model: RobotModel, f: FK, qv, g: float = 9.81):
     """Coriolis + centrifugal + gravity generalized forces h(q, qv),
     (nv,). DART: getCoriolisAndGravityForces()."""
@@ -235,12 +263,14 @@ def bias_forces(model: RobotModel, f: FK, qv, g: float = 9.81):
     return jnp.einsum("bcv,bc->v", J, wrench)
 
 
+@_highp
 def com(model: RobotModel, f: FK):
     """Whole-robot CoM (3,). DART: getCOM()."""
     m = jnp.asarray(model.mass)
     return jnp.einsum("b,bi->i", m, f.com_w) / model.total_mass
 
 
+@_highp
 def com_jacobian(model: RobotModel, f: FK):
     """3 x nv linear CoM Jacobian. DART: getCOMLinearJacobian(World)."""
     J = _body_com_jacobians(model, f)
@@ -248,6 +278,7 @@ def com_jacobian(model: RobotModel, f: FK):
     return jnp.einsum("b,bcv->cv", m, J[:, 3:6]) / model.total_mass
 
 
+@_highp
 def centroidal_momentum(model: RobotModel, f: FK, qv):
     """(h_w(3), h_lin(3)): angular momentum about the robot CoM and linear
     momentum — the quantity the reference estimates body-by-body in
@@ -261,6 +292,7 @@ def centroidal_momentum(model: RobotModel, f: FK, qv):
     return h_w, h_lin
 
 
+@_highp
 def centroidal_inertia(model: RobotModel, f: FK):
     """Composite rigid-body inertia about the robot CoM (3,3) — the
     quantity dumped to Debug/"centroidal composite rigid body inertia"."""
@@ -274,6 +306,7 @@ def centroidal_inertia(model: RobotModel, f: FK):
     return jnp.sum(f.I_w + shift, axis=0)
 
 
+@_highp
 def site_pose(model: RobotModel, f: FK, site: str):
     """World (R, p) of a named site (e.g. 'l_sole')."""
     idx, T_off = model.sites[site]
@@ -283,6 +316,7 @@ def site_pose(model: RobotModel, f: FK, site: str):
     return R, p
 
 
+@_highp
 def site_jacobian(model: RobotModel, f: FK, site: str):
     """6 x nv world Jacobian of a named site."""
     idx, T_off = model.sites[site]
@@ -290,6 +324,7 @@ def site_jacobian(model: RobotModel, f: FK, site: str):
     return point_jacobian(model, f, idx, p)
 
 
+@_highp
 def site_velocity(model: RobotModel, f: FK, qv, site: str):
     """(omega(3), v(3)) of a named site."""
     J = site_jacobian(model, f, site)
@@ -297,6 +332,7 @@ def site_velocity(model: RobotModel, f: FK, qv, site: str):
     return sv[0:3], sv[3:6]
 
 
+@_highp
 def forward_dynamics(model: RobotModel, q: RobotQ, qv, tau_actuated,
                      contact_wrenches=(), g: float = 9.81,
                      reg: float = 1e-9):

@@ -1,0 +1,170 @@
+"""Full-pipeline closed loop on the articulated robot:
+
+    planner refs -> centroidal MPC -> swing interpolation -> whole-body ID
+    -> joint torques -> whole-body contact plant
+
+— the complete re-design of the reference's customPreStep control loop
+(simulation.py:193-301) with the DART world replaced by the penalty-contact
+plant (wholebody/plant.py) and IPOPT/OSQP by the SQP/ADMM kernels.  One
+`lax.scan` over ticks; vmap over scenario batches.
+
+The centroidal closed loop (sim/closed_loop.py) is the fast evaluation
+path; this one exercises every layer including L0/L4 (SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cmpc_tpu.config import Scenario, WalkConfig
+from cmpc_tpu.models import centroidal as cm
+from cmpc_tpu.ocp import assemble, problem
+from cmpc_tpu.ops import sqp
+from cmpc_tpu.ops.admm import ADMMSettings
+from cmpc_tpu.plan import com_ref as com_ref_mod
+from cmpc_tpu.plan import footsteps, swing, timing as timing_mod
+from cmpc_tpu.rbd import algorithms as rbd
+from cmpc_tpu.rbd.urdf import RobotModel
+from cmpc_tpu.wholebody import inverse_dynamics as wbid
+from cmpc_tpu.wholebody import plant as wbplant
+from cmpc_tpu.wholebody import setup as wbsetup
+from cmpc_tpu.wholebody.state import WBState, retrieve_state
+
+
+class WBLoopCarry(NamedTuple):
+    plant: wbplant.WBPlantState
+    plan_pos: jnp.ndarray
+    theta_hat: jnp.ndarray
+    solver: sqp.SolverState
+
+
+class WBTrace(NamedTuple):
+    com_pos: jnp.ndarray
+    com_vel: jnp.ndarray
+    com_ref: jnp.ndarray
+    com_pos_des: jnp.ndarray
+    hw: jnp.ndarray
+    hw_des: jnp.ndarray
+    theta_hat: jnp.ndarray
+    pose_l: jnp.ndarray       # measured sole poses [ang, pos]
+    pose_r: jnp.ndarray
+    tau: jnp.ndarray          # (nj,) commanded torques
+    r_prim_mpc: jnp.ndarray
+    r_prim_id: jnp.ndarray
+    adapted: jnp.ndarray
+
+
+def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
+            T_sim: int | None = None,
+            id_settings: ADMMSettings = ADMMSettings(iters=60, rho=10.0,
+                                                     pdas_rounds=2),
+            contact: wbplant.ContactParams = wbplant.ContactParams(),
+            substeps: int = 10):
+    """Run the articulated robot closed loop for T_sim control ticks."""
+    timing = timing_mod.build_timing(cfg)
+    if T_sim is None:
+        T_sim = cfg.num_steps * (cfg.ss_duration + cfg.ds_duration)
+
+    plan0 = footsteps.plan_footsteps(scenario.vref, cfg, timing,
+                                     scenario.foot_y)
+    pose_ref_l, pose_ref_r = footsteps.contact_pose_refs(plan0, timing)
+    cref = com_ref_mod.build_com_ref(plan0, cfg, timing, scenario.foot_y)
+    refs = assemble.RefArrays(com=cref, pose_ref_l=pose_ref_l,
+                              pose_ref_r=pose_ref_r)
+
+    gamma_l_tbl = jnp.asarray(timing.gamma_l)
+    gamma_r_tbl = jnp.asarray(timing.gamma_r)
+    update_event = jnp.asarray(timing.update_event)
+    adapt_target = jnp.asarray(timing.adapt_target)
+    support_is_left_tbl = jnp.asarray(
+        timing.foot_is_left)[jnp.asarray(timing.step_idx)]
+
+    q0 = wbsetup.initial_q(model, settle=0.0012)
+    plant0 = wbplant.WBPlantState(q=q0, qv=jnp.zeros(model.nv))
+    st0 = retrieve_state(model, q0, jnp.zeros(model.nv))
+    joint_pos_des = jnp.asarray(wbsetup.initial_qj(model))
+    joint_sel = wbid.redundant_selection(model)
+
+    x0_init = jnp.zeros(20)
+    x0_init = x0_init.at[cm.P_COM].set(st0.com_pos)
+
+    carry0 = WBLoopCarry(
+        plant=plant0,
+        plan_pos=plan0.pos,
+        theta_hat=jnp.zeros(3),
+        solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass))
+
+    def tick(carry: WBLoopCarry, t):
+        st = retrieve_state(model, carry.plant.q, carry.plant.qv)
+        plan = footsteps.FootstepPlan(pos=carry.plan_pos, yaw=plan0.yaw)
+        feet = swing.feet_ref_at(t, plan, cfg, timing, scenario.foot_y)
+
+        # --- centroidal MPC on the measured state ---
+        x0 = assemble.pack_x0(st.com_pos, st.com_vel, st.hw,
+                              carry.theta_hat, st.pose_l, st.pose_r,
+                              t, plan, refs, timing)
+        params = assemble.gather_params(t, x0, refs, timing, cfg,
+                                        scenario.k1, scenario.k2,
+                                        scenario.mpc_mass)
+        solver, info = sqp.solve_mpc(carry.solver, params, cfg)
+        X, U = problem.split_z(solver.z, cfg)
+        x1, u0 = X[1], U[0]
+        sum_f = (u0[0:12].reshape(4, 3).sum(0) * params.gamma_l[0]
+                 + u0[12:24].reshape(4, 3).sum(0) * params.gamma_r[0])
+        com_acc_des = sum_f / scenario.mpc_mass + jnp.array(
+            [0.0, 0.0, -cfg.g])
+
+        # --- task references (simulation.py:207-271) ---
+        ang_avg = (feet.pose_l[0:3] + feet.pose_r[0:3]) / 2.0
+        om_avg = (feet.vel_l[0:3] + feet.vel_r[0:3]) / 2.0
+        al_avg = (feet.acc_l[0:3] + feet.acc_r[0:3]) / 2.0
+        desired = wbid.WBDesired(
+            pose_l=feet.pose_l, vel_l=feet.vel_l, acc_l=feet.acc_l,
+            pose_r=feet.pose_r, vel_r=feet.vel_r, acc_r=feet.acc_r,
+            com_pos=x1[cm.P_COM], com_vel=x1[cm.V_COM],
+            com_acc=com_acc_des,
+            torso_rotvec=ang_avg, torso_omega=om_avg, torso_alpha=al_avg,
+            base_rotvec=ang_avg, base_omega=om_avg, base_alpha=al_avg,
+            joint_pos=joint_pos_des)
+
+        tau, id_res = wbid.joint_torques(
+            model, carry.plant.q, carry.plant.qv, desired, st,
+            contact_l=gamma_l_tbl[t], contact_r=gamma_r_tbl[t],
+            joint_sel=joint_sel, foot_size=cfg.foot_size, mu=cfg.mu,
+            settings=id_settings)
+
+        # --- footstep adaptation (centroidal_mpc_vertices.py:656-675) ---
+        support_is_left = support_is_left_tbl[t]
+        new_contact = jnp.where(support_is_left, X[cfg.N, cm.POS_R],
+                                X[cfg.N, cm.POS_L])
+        do_adapt = update_event[t] & jnp.asarray(cfg.update_contact)
+        plan_pos = jnp.where(
+            do_adapt,
+            carry.plan_pos.at[adapt_target[t]].set(new_contact),
+            carry.plan_pos)
+
+        # --- disturbance + plant step ---
+        pushing = (t > scenario.push_start) & (t < scenario.push_end)
+        ext_f = jnp.where(pushing, scenario.push_force, jnp.zeros(3))
+        ext_tau = jnp.where(pushing, scenario.push_torque, jnp.zeros(3))
+        plant = wbplant.wb_plant_step(
+            model, carry.plant, tau, ext_force=ext_f, ext_torque=ext_tau,
+            dt=cfg.world_time_step, substeps=substeps, g=cfg.g, cp=contact,
+            foot_length=cfg.foot_length, foot_width=cfg.foot_width)
+
+        trace = WBTrace(
+            com_pos=st.com_pos, com_vel=st.com_vel,
+            com_ref=refs.com.pos[t], com_pos_des=x1[cm.P_COM],
+            hw=st.hw, hw_des=x1[cm.H_W], theta_hat=x1[cm.THETA],
+            pose_l=st.pose_l, pose_r=st.pose_r, tau=tau,
+            r_prim_mpc=info.r_prim, r_prim_id=id_res.r_prim,
+            adapted=do_adapt)
+
+        return WBLoopCarry(plant=plant, plan_pos=plan_pos,
+                           theta_hat=x1[cm.THETA], solver=solver), trace
+
+    carry, traces = jax.lax.scan(tick, carry0, jnp.arange(T_sim))
+    return carry, traces

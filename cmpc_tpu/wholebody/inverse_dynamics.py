@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from cmpc_tpu.ops.admm import ADMMSettings
 from cmpc_tpu.ops.id_qp import IDDynamics, IDTask, solve_id_qp
 from cmpc_tpu.rbd import algorithms as rbd
+from cmpc_tpu.rbd.algorithms import _highp
 from cmpc_tpu.rbd.urdf import RobotModel
 from cmpc_tpu.utils.rotations import rotvec_difference
 from cmpc_tpu.wholebody.state import WBState
@@ -67,6 +68,7 @@ def redundant_selection(model: RobotModel,
     return jnp.diag(jnp.asarray(d))
 
 
+@_highp
 def joint_torques(model: RobotModel, q: rbd.RobotQ, qv,
                   desired: WBDesired, current: WBState,
                   contact_l, contact_r, joint_sel=None,

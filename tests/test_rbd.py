@@ -9,40 +9,24 @@ import pytest
 
 from cmpc_tpu.rbd import algorithms as rbd
 from cmpc_tpu.rbd.urdf import load_hrp4
+from cmpc_tpu.wholebody.setup import initial_q
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    """These consistency checks assert f64-level tolerances.  Toggled per
+    module (NOT at import time — pytest imports every test module before
+    running any test, and a global flip would retrace other modules' f32
+    scans with f64 leaves, breaking their carry dtypes)."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 
 @pytest.fixture(scope="module")
 def model():
     return load_hrp4()
-
-
-# the reference's initial joint configuration, degrees (simulation.py:63-67)
-INITIAL_DEG = {
-    "CHEST_P": 0., "CHEST_Y": 0., "NECK_P": 0., "NECK_Y": 0.,
-    "R_HIP_Y": 0., "R_HIP_R": -3., "R_HIP_P": -25., "R_KNEE_P": 50.,
-    "R_ANKLE_P": -25., "R_ANKLE_R": 3.,
-    "L_HIP_Y": 0., "L_HIP_R": 3., "L_HIP_P": -25., "L_KNEE_P": 50.,
-    "L_ANKLE_P": -25., "L_ANKLE_R": -3.,
-    "R_SHOULDER_P": 4., "R_SHOULDER_R": -8., "R_SHOULDER_Y": 0.,
-    "R_ELBOW_P": -25.,
-    "L_SHOULDER_P": 4., "L_SHOULDER_R": 8., "L_SHOULDER_Y": 0.,
-    "L_ELBOW_P": -25.}
-
-
-def initial_q(model):
-    qj = np.zeros(model.nj)
-    for name, deg in INITIAL_DEG.items():
-        qj[model.dof_index(name)] = np.deg2rad(deg)
-    q = rbd.RobotQ(base_pos=jnp.zeros(3), base_rot=jnp.eye(3),
-                   qj=jnp.asarray(qj))
-    # ground placement: base shifted so the midsole point is the origin
-    # (simulation.py:74-77)
-    f = rbd.fk(model, q)
-    _, pl = rbd.site_pose(model, f, "l_sole")
-    _, pr = rbd.site_pose(model, f, "r_sole")
-    return q._replace(base_pos=-(pl + pr) / 2.0)
 
 
 def rand_state(model, seed=0, vel_scale=1.0):

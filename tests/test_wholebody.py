@@ -14,11 +14,17 @@ from cmpc_tpu.rbd import algorithms as rbd
 from cmpc_tpu.rbd.urdf import load_hrp4
 from cmpc_tpu.wholebody import inverse_dynamics as wbid
 from cmpc_tpu.wholebody import plant as wbplant
+from cmpc_tpu.wholebody.setup import initial_q
 from cmpc_tpu.wholebody.state import retrieve_state
 
-from tests.test_rbd import initial_q
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    """Toggled per module, not at import time (see tests/test_rbd.py)."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 
 @pytest.fixture(scope="module")
