@@ -81,6 +81,11 @@ class WalkConfig:
     # matmul-only normal-equations ADMM: the MPC QP's scaled normal matrix
     # is f32-friendly, so the MXU fast path applies (ops/admm.py)
     admm_kkt_form: bool = False
+    # elastic (slack-relaxed) Lyapunov rows in the SQP subproblem.
+    # Experimental: guarantees subproblem feasibility but measurably
+    # degrades closed-loop tracking (the slack lets the QP trade the
+    # stability constraint against cost every tick); default off.
+    sqp_elastic: bool = False
 
     @property
     def eta(self) -> float:

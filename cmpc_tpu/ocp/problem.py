@@ -266,6 +266,126 @@ def constraints(z, p: MPCParams, cfg: WalkConfig):
                             fric_l, fric_r, fz_l, fz_r, box_l, box_r])
 
 
+def linearize(z, p: MPCParams, cfg: WalkConfig):
+    """(c(z), J(z)) with the Jacobian assembled analytically per block.
+
+    Replaces `jax.jacfwd(constraints)` — which pushes n_z=540 tangents
+    through the whole constraint stack — with per-stage 52-tangent
+    jacobians for the dynamics rows, per-stage scalar gradients for the
+    Lyapunov rows, and closed-form entries for everything else (the
+    friction/fz/box/height rows are linear with gamma-scaled constant
+    coefficients).  ~10x fewer flops and a much smaller jaxpr.
+    """
+    X, U = split_z(z, cfg)
+    N = cfg.N
+    nX = cm.N_X * (N + 1)
+    nz = cfg.n_z
+    m = num_constraints(cfg)
+    gl, gr = p.gamma_l, p.gamma_r
+    polygon = cm.foot_polygon(cfg.foot_length, cfg.foot_width)
+
+    c = constraints(z, p, cfg)
+    J = jnp.zeros((m, nz))
+
+    colX = lambda i, j: cm.N_X * i + j          # noqa: E731
+    colU = lambda i, j: nX + cm.N_U * i + j     # noqa: E731
+
+    # ---- init rows: I on X0
+    J = J.at[jnp.arange(20), jnp.arange(20)].set(1.0)
+
+    # ---- dynamics rows: X[i+1] - f(X[i], U[i]) -> [+I | -A_i | -B_i]
+    def step_fn(x, r, a, b, u):
+        return cm.euler_step(x, r, a, b, u, p.k1, p.k2, p.mass, cfg.g,
+                             polygon, cfg.delta)
+
+    A_blk, B_blk = jax.vmap(jax.jacfwd(step_fn, argnums=(0, 4)))(
+        X[:-1], p.com_ref, gl[:N], gr[:N], U)          # (N,20,20),(N,20,32)
+    rows_dyn = 20 + 20 * np.arange(N)[:, None] + np.arange(20)[None, :]
+    cols_x_next = 20 * (np.arange(N) + 1)[:, None] + np.arange(20)[None, :]
+    J = J.at[rows_dyn, cols_x_next].set(1.0)
+    cols_x = (20 * np.arange(N))[:, None, None] + np.arange(20)[None, None]
+    J = J.at[rows_dyn[:, :, None],
+             np.broadcast_to(cols_x, (N, 20, 20))].add(-A_blk)
+    cols_u = (nX + 32 * np.arange(N))[:, None, None] \
+        + np.arange(32)[None, None]
+    J = J.at[rows_dyn[:, :, None],
+             np.broadcast_to(cols_u, (N, 20, 32))].add(-B_blk)
+
+    n_eq = 20 * (N + 1)
+
+    # ---- Lyapunov rows: scalar gradient per stage wrt (x_i, x_{i+1}, u_i)
+    def lyap_i(x_i, x_ip1, u_i, ref, gli, gri):
+        z1 = x_ip1[cm.P_COM] - ref[0:3]
+        z2 = p.k1 * z1 + (x_ip1[cm.V_COM] - ref[3:6])
+        fl = u_i[0:12].reshape(4, 3)
+        fr = u_i[12:24].reshape(4, 3)
+        V = (fl.sum(0) * gli + fr.sum(0) * gri) / p.mass
+        gravity = jnp.array([0.0, 0.0, -cfg.g])
+        u_n = (-(p.k1 + p.k2) * z2 + p.k1 ** 2 * z1 - gravity
+               + ref[6:9] - x_i[cm.THETA] / p.mass)
+        return (-p.k1 * z1 @ z1 - p.k2 * z2 @ z2 + z1 @ z2
+                + z2 @ (V - u_n))
+
+    gx, gxn, gu = jax.vmap(jax.grad(lyap_i, argnums=(0, 1, 2)))(
+        X[:-1], X[1:], U, p.com_ref, gl[:N], gr[:N])   # (N,20)x2,(N,32)
+    rows_ly = n_eq + np.arange(N)
+    J = J.at[rows_ly[:, None],
+             (20 * np.arange(N))[:, None] + np.arange(20)[None]].add(gx)
+    J = J.at[rows_ly[:, None],
+             (20 * (np.arange(N) + 1))[:, None]
+             + np.arange(20)[None]].add(gxn)
+    J = J.at[rows_ly[:, None],
+             (nX + 32 * np.arange(N))[:, None]
+             + np.arange(32)[None]].add(gu)
+
+    # ---- momentum row: |hw1|^2 - |hw0|^2
+    r_mom = n_eq + N
+    hw_cols0 = np.arange(6, 9)
+    hw_cols1 = 20 + np.arange(6, 9)
+    J = J.at[r_mom, hw_cols1].set(2.0 * X[1, cm.H_W])
+    J = J.at[r_mom, hw_cols0].set(-2.0 * X[0, cm.H_W])
+
+    # ---- height rows: X[i][2], i = 0..N-1
+    rows_h = n_eq + N + 1 + np.arange(N)
+    J = J.at[rows_h, 20 * np.arange(N) + 2].set(1.0)
+
+    # ---- friction rows: A_mu on stage forces, gamma-gated
+    Amu = jnp.asarray(_friction_matrix(cfg.mu))        # (4,3)
+    f0 = n_eq + 2 * N + 1
+    i_idx = np.arange(N)[:, None, None, None]
+    v_idx = np.arange(4)[None, :, None, None]
+    k_idx = np.arange(4)[None, None, :, None]
+    c_idx = np.arange(3)[None, None, None, :]
+    rows_fr = f0 + 16 * i_idx + 4 * v_idx + k_idx      # (N,4,4,1)
+    cols_l = nX + 32 * i_idx + 3 * v_idx + c_idx       # (N,4,1,3)
+    coef = jnp.broadcast_to(Amu[None, None], (N, 4, 4, 3))
+    J = J.at[np.broadcast_to(rows_fr, (N, 4, 4, 3)),
+             np.broadcast_to(cols_l, (N, 4, 4, 3))].set(
+        coef * gl[:N, None, None, None])
+    J = J.at[np.broadcast_to(rows_fr + 16 * N, (N, 4, 4, 3)),
+             np.broadcast_to(cols_l + 12, (N, 4, 4, 3))].set(
+        coef * gr[:N, None, None, None])
+
+    # ---- fz rows: -gamma on vertical force comps
+    z0 = f0 + 32 * N
+    rows_fz = z0 + 4 * np.arange(N)[:, None] + np.arange(4)[None]
+    cols_fz_l = nX + 32 * np.arange(N)[:, None] + 3 * np.arange(4)[None] + 2
+    J = J.at[rows_fz, cols_fz_l].set(-gl[:N, None]
+                                     * jnp.ones((N, 4)))
+    J = J.at[rows_fz + 4 * N, cols_fz_l + 12].set(-gr[:N, None]
+                                                  * jnp.ones((N, 4)))
+
+    # ---- stance box rows: gamma at X[i+1] foot-position cols
+    b0 = z0 + 8 * N
+    rows_bx = b0 + 3 * np.arange(N)[:, None] + np.arange(3)[None]
+    cols_bl = 20 * (np.arange(N) + 1)[:, None] + 13 + np.arange(3)[None]
+    J = J.at[rows_bx, cols_bl].set(gl[1:, None] * jnp.ones((N, 3)))
+    J = J.at[rows_bx + 3 * N, cols_bl + 4].set(gr[1:, None]
+                                               * jnp.ones((N, 3)))
+
+    return c, J
+
+
 @functools.lru_cache(maxsize=8)
 def constraint_bounds(cfg: WalkConfig):
     """Static (l, u) for l <= c(z) <= u. Equalities: l == u == 0."""

@@ -67,12 +67,18 @@ def _cop_friction_rows(d: float, mu: float):
 
 def solve_id_qp(tasks: dict, dyn: IDDynamics, qdot, contact_l, contact_r,
                 n_dof: int = 30, foot_size: float = 0.1, mu: float = 0.5,
-                settings: ADMMSettings = ADMMSettings(iters=100, rho=10.0)):
+                settings: ADMMSettings = ADMMSettings(iters=100, rho=10.0),
+                weights: dict | None = None, pos_gains: dict | None = None,
+                vel_gains: dict | None = None):
     """Assemble and solve the ID QP; returns the 24 actuated joint torques
     (tau[6:], inverse_dynamics.py:133-136).
 
     tasks: {name: IDTask}; contact_l/contact_r: {0,1} gates.
+    weights/pos_gains/vel_gains override the reference constants per task.
     """
+    weights = {**WEIGHTS, **(weights or {})}
+    pos_gains = {**POS_GAINS, **(pos_gains or {})}
+    vel_gains = {**VEL_GAINS, **(vel_gains or {})}
     nv = 2 * n_dof + 12
     qdd = slice(0, n_dof)
 
@@ -80,7 +86,7 @@ def solve_id_qp(tasks: dict, dyn: IDDynamics, qdot, contact_l, contact_r,
     F = jnp.zeros(nv)
     for name in TASKS:
         t = tasks[name]
-        w, kp, kv = WEIGHTS[name], POS_GAINS[name], VEL_GAINS[name]
+        w, kp, kv = weights[name], pos_gains[name], vel_gains[name]
         Ht = w * _mm(t.J.T, t.J)
         target = t.ff + kv * t.vel_err + kp * t.pos_err - t.Jdot_qv
         Ft = -w * _mm(t.J.T, target)
@@ -104,7 +110,12 @@ def solve_id_qp(tasks: dict, dyn: IDDynamics, qdot, contact_l, contact_r,
     l = jnp.concatenate([b_eq, jnp.full(16, -jnp.inf)])
     u = jnp.concatenate([b_eq, jnp.zeros(16)])
 
-    res = admm_solve(2.0 * H, F, A, l, u, jnp.zeros(nv),
+    # The reference's QPSolver minimizes 1/2 x'Hx + F'x with H = sum w J'J
+    # (utils.py:41-73) — admm_solve uses the same 1/2 convention, so H
+    # passes through unscaled.  (A 2*H here once halved every achieved
+    # task acceleration: the QP solution is -(P)^-1 q up to constraints,
+    # and the whole-body loop drifted laterally at exactly half gain.)
+    res = admm_solve(H, F, A, l, u, jnp.zeros(nv),
                      jnp.zeros(A.shape[0]), settings)
     tau = res.x[n_dof:2 * n_dof]
     return tau[6:], res

@@ -108,18 +108,53 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
                        + jnp.maximum(l_c - c, 0.0))
         return problem.cost_value(zz, params, cfg) + 1e4 * viol
 
+    # --- elastic (slack-relaxed) subproblem structure -------------------
+    # The linearized Lyapunov rows can be INFEASIBLE jointly with the
+    # proximal trust region even when the nonlinear problem is feasible
+    # (observed in closed loop entering single support: every other row
+    # family exactly feasible, lyap violated ~0.04, the merit then rejects
+    # every step and the controller deadlocks).  IPOPT survives this
+    # because its interior-point subproblems are always relaxed; the SQP
+    # equivalent is elastic mode (Gill et al.): lyap_i - s_i <= 0 with
+    # s_i >= 0 and an exact linear penalty on s, solved in the same QP.
+    N = cfg.N
+    n_eq = 20 * (N + 1)
+    n_z, n_e = cfg.n_z, cfg.n_z + N
+    m0 = problem.num_constraints(cfg)
+    W_ELASTIC = 1e4
+    S_rows = jnp.zeros((m0, N)).at[n_eq + jnp.arange(N),
+                                   jnp.arange(N)].set(-1.0)
+    S_pos = jnp.concatenate([jnp.zeros((N, n_z)), jnp.eye(N)], axis=1)
+    q_sl = jnp.full(N, W_ELASTIC)
+
     r_prim = r_dual = jnp.asarray(0.0)
     for _ in range(cfg.sqp_iters):
-        c = con(z)
-        J = jax.jacfwd(con)(z)
+        c, J = problem.linearize(z, params, cfg)
         b = jnp.matmul(J, z, precision=jax.lax.Precision.HIGHEST) - c
         # proximal (Levenberg-style) damping around the current iterate:
         # bounds the step so the bilinear momentum rows stay within their
         # linearization's validity region
         lam = cfg.sqp_prox
-        res = admm_solve(P + lam * jnp.eye(cfg.n_z), q - lam * z,
-                         J, l_c + b, u_c + b, z, y, settings)
-        dz = jnp.nan_to_num(res.x - z, nan=0.0, posinf=0.0, neginf=0.0)
+        if cfg.sqp_elastic:
+            P_e = jnp.zeros((n_e, n_e))
+            P_e = P_e.at[:n_z, :n_z].set(P + lam * jnp.eye(n_z))
+            P_e = P_e.at[n_z + jnp.arange(N),
+                         n_z + jnp.arange(N)].set(2.0)
+            q_e = jnp.concatenate([q - lam * z, q_sl])
+            A_e = jnp.concatenate(
+                [jnp.concatenate([J, S_rows], axis=1), S_pos], axis=0)
+            lyap_viol = jnp.maximum(c[n_eq:n_eq + N], 0.0)
+            res = admm_solve(
+                P_e, q_e, A_e,
+                jnp.concatenate([l_c + b, jnp.zeros(N)]),
+                jnp.concatenate([u_c + b, jnp.full(N, jnp.inf)]),
+                jnp.concatenate([z, lyap_viol]),
+                jnp.concatenate([y, jnp.zeros(N)]), settings)
+        else:
+            res = admm_solve(P + lam * jnp.eye(n_z), q - lam * z,
+                             J, l_c + b, u_c + b, z, y, settings)
+        dz = jnp.nan_to_num(res.x[:n_z] - z, nan=0.0, posinf=0.0,
+                            neginf=0.0)
         # alpha = 0 is always a candidate: a QP step that worsens the merit
         # is rejected outright, so a bad solve can never inject garbage
         # into the warm-start loop (the per-scenario failure-containment
@@ -132,7 +167,7 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
         # keep the old dual when the step was rejected; clamp to keep the
         # PDAS penalty duals from compounding across ticks
         accepted = best < len(alphas) - 1
-        y_new = jnp.clip(jnp.nan_to_num(res.y), -1e5, 1e5)
+        y_new = jnp.clip(jnp.nan_to_num(res.y[:m0]), -1e5, 1e5)
         y = jnp.where(accepted, y_new, y)
         r_prim, r_dual = res.r_prim, res.r_dual
 

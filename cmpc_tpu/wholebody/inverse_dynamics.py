@@ -74,10 +74,13 @@ def joint_torques(model: RobotModel, q: rbd.RobotQ, qv,
                   contact_l, contact_r, joint_sel=None,
                   foot_size: float = 0.1, mu: float = 0.5,
                   settings: ADMMSettings = ADMMSettings(iters=60, rho=10.0,
-                                                        pdas_rounds=2)):
+                                                        pdas_rounds=2),
+                  weights: dict | None = None, pos_gains: dict | None = None,
+                  vel_gains: dict | None = None):
     """Returns (tau(nj,), ADMMResult). contact_l/r: float {0,1} gates
     (the reference's contact-string comparison, inverse_dynamics.py:31-32,
-    as data)."""
+    as data).  weights/pos_gains/vel_gains override the reference task
+    constants (ops/id_qp.py)."""
     f = rbd.fk(model, q)
     vel = rbd.velocities(model, f, qv)
     bias = rbd.bias_accelerations(model, f, vel, qv)
@@ -134,4 +137,6 @@ def joint_torques(model: RobotModel, q: rbd.RobotQ, qv,
         J_rfoot=rbd.site_jacobian(model, f, "r_sole"))
 
     return solve_id_qp(tasks, dyn, qv, contact_l, contact_r, n_dof=nv,
-                       foot_size=foot_size, mu=mu, settings=settings)
+                       foot_size=foot_size, mu=mu, settings=settings,
+                       weights=weights, pos_gains=pos_gains,
+                       vel_gains=vel_gains)
