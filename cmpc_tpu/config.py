@@ -81,6 +81,9 @@ class WalkConfig:
     # matmul-only normal-equations ADMM: the MPC QP's scaled normal matrix
     # is f32-friendly, so the MXU fast path applies (ops/admm.py)
     admm_kkt_form: bool = False
+    # stage-structured (block-tridiagonal) linear solves inside the MPC
+    # ADMM/PDAS — the OCP fast path (ops/blocktri.py); dense otherwise
+    mpc_blocktri: bool = True
     # elastic (slack-relaxed) Lyapunov rows in the SQP subproblem.
     # Experimental: guarantees subproblem feasibility but measurably
     # degrades closed-loop tracking (the slack lets the QP trade the

@@ -129,10 +129,15 @@ def _kkt_solve(K, lu_piv, rhs, refine_steps: int):
     return s
 
 
-def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
+def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings,
+               ocp_perm=None) -> ADMMResult:
     """One QP solve. All inputs are per-scenario (vmap over a batch axis).
 
     x0: primal warm start; y0: dual warm start, both in *unscaled* space.
+    ocp_perm: optional ops.blocktri.StagePerm — when given (and kkt_form
+    is off) the linear solves use the block-tridiagonal stage structure
+    instead of dense inverses (the OCP fast path; ~100x fewer factor
+    flops at MPC sizes).
     """
     P0, q0, A0 = P, q, A
     P, q, A, l, u, D, E, c = _ruiz(P, q, A, l, u, settings.ruiz_iters)
@@ -163,6 +168,22 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
             zt_kkt = zc + (nu - y) / rho
             x_new = alpha * xt + (1 - alpha) * x
             zt = alpha * zt_kkt + (1 - alpha) * zc
+            z_new = jnp.clip(zt + y / rho, l, u)
+            y_new = y + rho * (zt - z_new)
+            return (x_new, z_new, y_new)
+    elif ocp_perm is not None:
+        # block-tridiagonal OCP fast path: stage-structured factorization
+        from cmpc_tpu.ops import blocktri
+        Dblk, Oblk = blocktri.build_blocks(P, A, rho, sigma, ocp_perm)
+        fac = blocktri.factor(Dblk, Oblk)
+
+        def body(_, carry):
+            x, zc, y = carry
+            rhs = sigma * x - q + _mm(A.T, rho * zc - y)
+            xt = blocktri.solve(fac, rhs, ocp_perm)
+            axt = _mm(A, xt)
+            x_new = alpha * xt + (1 - alpha) * x
+            zt = alpha * axt + (1 - alpha) * zc
             z_new = jnp.clip(zt + y / rho, l, u)
             y_new = y + rho * (zt - z_new)
             return (x_new, z_new, y_new)
@@ -217,6 +238,19 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings) -> ADMMResult:
             s = _kkt_solve(Kp, lup, rhs, settings.refine_steps)
             xp = s[:n]
             yp = s[n:] * actf
+            return (xp, yp), None
+    elif ocp_perm is not None:
+        from cmpc_tpu.ops import blocktri
+
+        def pdas_round(carry, _):
+            xp, yp = carry
+            act, tgt = _active_set(xp, yp)
+            W = jnp.where(act, w_act, 0.0)
+            Dp, Op = blocktri.build_blocks(P, A, W, settings.pdas_eps,
+                                           ocp_perm)
+            facp = blocktri.factor(Dp, Op)
+            xp = blocktri.solve(facp, -q + _mm(A.T, W * tgt), ocp_perm)
+            yp = W * (_mm(A, xp) - tgt)
             return (xp, yp), None
     else:
         def pdas_round(carry, _):

@@ -92,7 +92,31 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     # x0 so the dynamics rows start exactly feasible.  Without this the
     # bilinear momentum rows leave an O(1) residual that full SQP steps
     # cannot remove (the L1 merit then rejects every step).
+    #
+    # Gait-consistency repair: at support switches the carried forces sit
+    # on feet the new Gamma gates zero out, so the naive rollout is a
+    # falling trajectory — a linearization point the proximal SQP cannot
+    # escape in few iterations (observed: the first single-support tick's
+    # QP left 0.08 residuals on init/dyn/lyap rows and the walk fell one
+    # step later).  Gate the carried vertex forces by the new contact
+    # schedule and rescale the surviving ones to keep supporting m*g.
     _, U_ws = problem.split_z(state.z, cfg)
+    gl_u = params.gamma_l[:cfg.N, None, None]
+    gr_u = params.gamma_r[:cfg.N, None, None]
+    fl_ws = U_ws[:, 0:12].reshape(cfg.N, 4, 3) * gl_u
+    fr_ws = U_ws[:, 12:24].reshape(cfg.N, 4, 3) * gr_u
+    # top up vertical support on the *active* vertices so every stage of
+    # the rollout carries ~m*g (appearing contacts — a landing foot inside
+    # the horizon — enter with zero carried force, which left a falling
+    # tail trajectory and the same deadlock one step later at t=262).
+    fz_tot = fl_ws[..., 2].sum(-1) + fr_ws[..., 2].sum(-1)       # (N,)
+    n_act = 4.0 * (params.gamma_l[:cfg.N] + params.gamma_r[:cfg.N])
+    deficit = jnp.maximum(params.mass * cfg.g - fz_tot, 0.0) \
+        / jnp.maximum(n_act, 1.0)                                 # (N,)
+    fl_ws = fl_ws.at[..., 2].add(deficit[:, None] * gl_u[..., 0])
+    fr_ws = fr_ws.at[..., 2].add(deficit[:, None] * gr_u[..., 0])
+    U_ws = U_ws.at[:, 0:12].set(fl_ws.reshape(cfg.N, 12))
+    U_ws = U_ws.at[:, 12:24].set(fr_ws.reshape(cfg.N, 12))
     X_ws = _rollout_X(params.x0, U_ws, params, cfg)
     z = problem.join_z(X_ws, U_ws)
     y = state.y
@@ -122,6 +146,12 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     n_z, n_e = cfg.n_z, cfg.n_z + N
     m0 = problem.num_constraints(cfg)
     W_ELASTIC = 1e4
+    # stage-structured linear solves (elastic mode changes the variable
+    # layout, so it stays on the dense path)
+    ocp_perm = None
+    if cfg.mpc_blocktri and not cfg.sqp_elastic and not cfg.admm_kkt_form:
+        from cmpc_tpu.ops import blocktri
+        ocp_perm = blocktri.stage_perm(cfg.N)
     S_rows = jnp.zeros((m0, N)).at[n_eq + jnp.arange(N),
                                    jnp.arange(N)].set(-1.0)
     S_pos = jnp.concatenate([jnp.zeros((N, n_z)), jnp.eye(N)], axis=1)
@@ -152,7 +182,8 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
                 jnp.concatenate([y, jnp.zeros(N)]), settings)
         else:
             res = admm_solve(P + lam * jnp.eye(n_z), q - lam * z,
-                             J, l_c + b, u_c + b, z, y, settings)
+                             J, l_c + b, u_c + b, z, y, settings,
+                             ocp_perm=ocp_perm)
         dz = jnp.nan_to_num(res.x[:n_z] - z, nan=0.0, posinf=0.0,
                             neginf=0.0)
         # alpha = 0 is always a candidate: a QP step that worsens the merit
