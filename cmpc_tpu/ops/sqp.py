@@ -117,6 +117,40 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     fr_ws = fr_ws.at[..., 2].add(deficit[:, None] * gr_u[..., 0])
     U_ws = U_ws.at[:, 0:12].set(fl_ws.reshape(cfg.N, 12))
     U_ws = U_ws.at[:, 12:24].set(fr_ws.reshape(cfg.N, 12))
+
+    # Swing-foot transfer seeding: near the end of single support the
+    # measured-state packing pins the swing foot at its TAKE-OFF position
+    # (the reference's plan-lag override) while the landing nodes inside
+    # the horizon demand it within the +-1 cm stance box of the landing
+    # reference — the exact NLP resolves this with a one-node foot
+    # "teleport" (tens of m/s on the unbounded foot-velocity inputs, which
+    # IPOPT performs without blinking) that a proximally damped SQP step
+    # cannot reach from a ~0-velocity warm start (observed: every config
+    # family fails at the first landing, t=263-270).  Seed the carried
+    # foot-velocity inputs to execute that transfer exactly, so the
+    # teleport is already in the linearization point.
+    delta = cfg.delta
+    idx_n = jnp.arange(cfg.N)
+
+    def transfer_vel(gamma, x0_pos, pos_ref):
+        land = jnp.argmax(gamma[1:] > 0.5)          # first stance node - 1
+        k = land + 1                                 # steps before landing
+        has = (gamma[0] < 0.5) & jnp.any(gamma[1:] > 0.5)
+        target = pos_ref[land]
+        v = (target - x0_pos) / (delta * k)
+        mask = (idx_n < k) & has
+        return jnp.where(mask[:, None], v[None, :], 0.0), has
+
+    from cmpc_tpu.models import centroidal as cmod
+    v_l, has_l = transfer_vel(params.gamma_l, params.x0[cmod.POS_L],
+                              params.pos_ref_l)
+    v_r, has_r = transfer_vel(params.gamma_r, params.x0[cmod.POS_R],
+                              params.pos_ref_r)
+    U_ws = U_ws.at[:, 24:27].set(
+        jnp.where(has_l, v_l, U_ws[:, 24:27]))
+    U_ws = U_ws.at[:, 27:30].set(
+        jnp.where(has_r, v_r, U_ws[:, 27:30]))
+
     X_ws = _rollout_X(params.x0, U_ws, params, cfg)
     z = problem.join_z(X_ws, U_ws)
     y = state.y
