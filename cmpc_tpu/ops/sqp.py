@@ -186,6 +186,17 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
     if cfg.mpc_blocktri and not cfg.sqp_elastic and not cfg.admm_kkt_form:
         from cmpc_tpu.ops import blocktri
         ocp_perm = blocktri.stage_perm(cfg.N)
+
+    # proximal weights: foot-velocity / yaw-rate inputs are exempt
+    # (weight 1e-3) — the landing transfer needs tens of m/s on those
+    # inputs in one node (see the warm-start seeding note below), and a
+    # uniform prox term makes that step cost lam*|dv|^2, vetoing it.
+    import numpy as _np
+    w_prox = _np.ones(n_z)
+    nX_ = 20 * (N + 1)
+    for i in range(N):
+        w_prox[nX_ + 32 * i + 24:nX_ + 32 * i + 32] = 1e-3
+    w_prox = jnp.asarray(w_prox)
     S_rows = jnp.zeros((m0, N)).at[n_eq + jnp.arange(N),
                                    jnp.arange(N)].set(-1.0)
     S_pos = jnp.concatenate([jnp.zeros((N, n_z)), jnp.eye(N)], axis=1)
@@ -215,7 +226,8 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
                 jnp.concatenate([z, lyap_viol]),
                 jnp.concatenate([y, jnp.zeros(N)]), settings)
         else:
-            res = admm_solve(P + lam * jnp.eye(n_z), q - lam * z,
+            res = admm_solve(P + lam * jnp.diag(w_prox),
+                             q - lam * w_prox * z,
                              J, l_c + b, u_c + b, z, y, settings,
                              ocp_perm=ocp_perm)
         dz = jnp.nan_to_num(res.x[:n_z] - z, nan=0.0, posinf=0.0,
