@@ -52,6 +52,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from cmpc_tpu.config import (WalkConfig, nominal_scenario,
@@ -64,6 +65,11 @@ def main(argv=None):
         cfg = WalkConfig(num_steps=args.steps)
         if args.payload:
             sc = payload_scenario(cfg)
+            if args.push is not None:
+                # payload_scenario defaults to no push; combine both flags
+                sc = sc._replace(
+                    push_force=jnp.asarray(args.push, dtype=jnp.float32),
+                    push_start=jnp.asarray(801), push_end=jnp.asarray(899))
         elif args.push is not None:
             sc = nominal_scenario(cfg, push=tuple(args.push))
         else:

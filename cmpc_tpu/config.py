@@ -84,6 +84,11 @@ class WalkConfig:
     # stage-structured (block-tridiagonal) linear solves inside the MPC
     # ADMM/PDAS — the OCP fast path (ops/blocktri.py); dense otherwise
     mpc_blocktri: bool = True
+    # x0 swing-foot source: True packs the swing foot's measured position
+    # (the commanded swing trajectory) into x0; False reproduces the
+    # reference's take-off pin + landing-tick teleport
+    # (centroidal_mpc_vertices.py:493-509).  See ocp/assemble.pack_x0.
+    x0_swing_from_traj: bool = True
     # elastic (slack-relaxed) Lyapunov rows in the SQP subproblem.
     # Experimental: guarantees subproblem feasibility but measurably
     # degrades closed-loop tracking (the slack lets the QP trade the

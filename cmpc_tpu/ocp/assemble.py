@@ -30,14 +30,29 @@ class RefArrays(NamedTuple):
 
 
 def pack_x0(com_pos, com_vel, hw, theta_hat, pose_l, pose_r,
-            t, plan: FootstepPlan, refs: RefArrays, timing: GaitTiming):
+            t, plan: FootstepPlan, refs: RefArrays, timing: GaitTiming,
+            cfg: WalkConfig | None = None):
     """Measured-state packing with the reference's quirks
     (centroidal_mpc_vertices.py:482-509):
 
     * foot yaw from the measured pose's ang-z, foot z forced to 0;
-    * both feet's positions replaced by the stance override — the static
+    * stance feet's positions replaced by the stance override — the static
       per-tick contact ref before the first-step cutoff, the *live* plan
       (parity-indexed at t - ss_duration) after.
+
+    Swing-foot source (``cfg.x0_swing_from_traj``, default True): the
+    reference pins the *swing* foot at its take-off plan position for the
+    whole single-support phase and teleports it to the landing position at
+    the first double-support tick (the t-70 lagged plan lookup,
+    centroidal_mpc_vertices.py:493-509).  Late-single-support solves then
+    require an in-horizon foot "teleport" (tens of m/s on the unbounded
+    foot-velocity inputs) that IPOPT absorbs but a proximally damped SQP
+    cannot — the round-1 landing-divergence root cause.  With the flag on,
+    the swing foot's x0 instead tracks the commanded swing trajectory (its
+    physically measured position — what ``current['lfoot']`` would be
+    before the reference overrides it), so the subproblem's foot transfer
+    is always a physical-velocity move.  Set False to reproduce the
+    reference packing bit-for-bit.
     """
     from_table = jnp.asarray(timing.stance_from_table)[t]
     sl = jnp.asarray(timing.stance_left_idx)[t]
@@ -45,10 +60,18 @@ def pack_x0(com_pos, com_vel, hw, theta_hat, pose_l, pose_r,
     stance_l = jnp.where(from_table, refs.pose_ref_l[t, 3:6], plan.pos[sl])
     stance_r = jnp.where(from_table, refs.pose_ref_r[t, 3:6], plan.pos[sr])
 
+    if cfg is not None and cfg.x0_swing_from_traj:
+        gl = jnp.asarray(timing.gamma_l)[t]
+        gr = jnp.asarray(timing.gamma_r)[t]
+        foot_l = jnp.where(gl > 0.5, stance_l, pose_l[3:6])
+        foot_r = jnp.where(gr > 0.5, stance_r, pose_r[3:6])
+    else:
+        foot_l, foot_r = stance_l, stance_r
+
     return jnp.concatenate([
         com_pos, com_vel, hw, theta_hat,
-        pose_l[2][None], stance_l,
-        pose_r[2][None], stance_r,
+        pose_l[2][None], foot_l,
+        pose_r[2][None], foot_r,
     ])
 
 

@@ -77,7 +77,14 @@ def summarize(trace: Any, fall_threshold: float = 0.3) -> TraceSummary:
     ref = np.asarray(tr["com_ref"])
     err = np.linalg.norm(com[:, :2] - ref[:, :2], axis=-1)
     hw = np.asarray(tr["hw"])
-    r_prim = np.asarray(tr.get("r_prim", tr.get("r_prim_mpc")))
+    if "r_prim" in tr:
+        r_prim = np.asarray(tr["r_prim"])
+    elif "r_prim_mpc" in tr:
+        r_prim = np.asarray(tr["r_prim_mpc"])
+    else:
+        raise KeyError(
+            "trace has neither 'r_prim' nor 'r_prim_mpc'; summarize() "
+            "needs solver residuals to report accuracy percentiles")
     adapted = np.asarray(tr.get("adapted", np.zeros(len(com), bool)))
     return TraceSummary(
         ticks=int(com.shape[0]),

@@ -105,7 +105,7 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
         x0 = assemble.pack_x0(carry.plant.com_pos, carry.plant.com_vel,
                               carry.plant.hw, carry.theta_hat,
                               feet.pose_l, feet.pose_r,
-                              t, plan, refs, timing)
+                              t, plan, refs, timing, cfg)
         params = assemble.gather_params(t, x0, refs, timing, cfg,
                                         scenario.k1, scenario.k2,
                                         scenario.mpc_mass)

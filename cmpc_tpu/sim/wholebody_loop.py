@@ -105,7 +105,7 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         # --- centroidal MPC on the measured state ---
         x0 = assemble.pack_x0(st.com_pos, st.com_vel, st.hw,
                               carry.theta_hat, st.pose_l, st.pose_r,
-                              t, plan, refs, timing)
+                              t, plan, refs, timing, cfg)
         params = assemble.gather_params(t, x0, refs, timing, cfg,
                                         scenario.k1, scenario.k2,
                                         scenario.mpc_mass)

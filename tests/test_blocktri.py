@@ -75,3 +75,42 @@ def test_vmap_batch():
     out = solve_one(keys)
     assert out.shape == (B, cfg.n_z)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blocktri_f32_residual():
+    """ADVICE.md (round 1): the production MPC path runs the block solve in
+    f32 on TPU (sigma=1e-6 + prox); assert the f32 relative residual stays
+    small at bench-like conditioning so an f32 regression is caught on CPU.
+
+    The module fixture enables x64 for the other tests; this one must run
+    in strict f32, so it locally disables it (restored on exit)."""
+    jax.config.update("jax_enable_x64", False)
+    try:
+        _f32_body()
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _f32_body():
+    cfg = WalkConfig()
+    sp = blocktri.stage_perm(cfg.N)
+    p = make_params(cfg, jax.random.PRNGKey(2), standing=False)
+    p32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype=jnp.float32), p)
+    z = jnp.zeros(cfg.n_z, jnp.float32).at[:20].set(p32.x0)
+    P, q = problem.cost_quadratic(p32, cfg)
+    c, J = problem.linearize(z, p32, cfg)
+    m = J.shape[0]
+    rho = jnp.where(jnp.arange(m) < 20 * (cfg.N + 1), 1e3, 10.0)
+    # bench-like: sigma 1e-6 plus the SQP prox term on the diagonal
+    sigma = 1e-6 + cfg.sqp_prox
+    M = (P + sigma * jnp.eye(cfg.n_z, dtype=jnp.float32)
+         + (J.T * rho) @ J).astype(jnp.float32)
+    D, O = blocktri.build_blocks(P, J, rho, sigma, sp)
+    fac = blocktri.factor(D, O)
+    b = jnp.asarray(
+        np.random.default_rng(5).normal(size=cfg.n_z), jnp.float32)
+    x = blocktri.solve(fac, b, sp)
+    assert x.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(M @ x - b) / jnp.linalg.norm(b))
+    assert rel < 1e-4, rel

@@ -186,3 +186,25 @@ def test_mpc_solve_standing():
     assert np.all(f[:, 2] >= -1.0)
     # Lyapunov constraint approximately satisfied
     assert float(info.lyap_violation) < 1e-2
+
+
+@pytest.mark.parametrize("standing", [True, False])
+def test_linearize_matches_jacfwd(standing):
+    """ADVICE.md (round 1): the hand-assembled constraint Jacobian
+    (problem.linearize) is what sqp.solve_mpc consumes; any future edit to
+    constraints() must keep them synchronized.  Checked in f64."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = WalkConfig()
+        p = make_params(cfg, jax.random.PRNGKey(7), standing=standing)
+        p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=jnp.float64), p)
+        z = 0.05 * jax.random.normal(jax.random.PRNGKey(11), (cfg.n_z,),
+                                     dtype=jnp.float64)
+        z = z.at[:20].add(p.x0)
+        _, J_hand = problem.linearize(z, p, cfg)
+        J_auto = jax.jacfwd(lambda zz: problem.constraints(zz, p, cfg))(z)
+        assert float(jnp.abs(J_hand - J_auto).max()) < 1e-10
+    finally:
+        jax.config.update("jax_enable_x64", old)
