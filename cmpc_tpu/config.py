@@ -72,6 +72,18 @@ class WalkConfig:
     # centroidal_mpc_vertices.py:258-271.
     stance_box: tuple = (0.01, 0.005, 0.00005)
     # --- solver structure (new capability; no reference equivalent) ---
+    # "condip": condensed single-shooting SQP with a dense Mehrotra
+    # interior-point inner QP (ops/pdip.py) — the high-accuracy production
+    # path.  "admm": sparse SQP over [X, U] with the OSQP-style ADMM+PDAS
+    # inner QP (ops/admm.py).
+    mpc_solver: str = "condip"
+    pdip_iters: int = 15             # interior-point iterations per QP
+    condip_prox: float = 0.1         # proximal damping on dU (condip path)
+    # Lyapunov/momentum rows as elastic (slack + penalty) rows.  False =
+    # hard rows like the reference's IPOPT problem; an infeasible
+    # subproblem then yields a garbage step that the merit line search
+    # rejects (alpha = 0), which is the failure-containment path.
+    condip_soft: bool = False
     sqp_iters: int = 3               # SQP (real-time iteration) count per solve
     sqp_prox: float = 20.0           # proximal damping of each SQP QP
     admm_iters: int = 20             # ADMM iterations per QP (before PDAS)

@@ -1,0 +1,151 @@
+"""Dense primal-dual interior-point QP solver (Mehrotra), pure JAX.
+
+Solves   min 1/2 v^T H v + g^T v   s.t.  C v <= d
+
+with a fixed iteration count so every scenario in a vmapped batch runs in
+lockstep (SURVEY.md §7 hard part #3).  This is the high-accuracy inner QP
+of the condensed SQP MPC path (ops/sqp.py, cfg.mpc_solver="condip") — the
+role IPOPT's barrier subproblems play in the reference
+(centroidal_mpc_vertices.py:126-130), redesigned for TPU: each iteration
+is one batched dense Cholesky of H + C' D C plus a handful of matmuls,
+which XLA maps straight onto the MXU.
+
+Infeasible-start Mehrotra predictor-corrector:
+ * both solves of an iteration reuse one Cholesky factorization;
+ * fraction-to-boundary step with tau = 0.95;
+ * the complementarity scaling D = lam/w is clipped to keep the Newton
+   matrix f32-factorable (accuracy target ~1e-5, far beyond the 1e-3
+   IPOPT tolerance the reference runs at).
+
+Vacuous rows (all-zero C rows from Gamma-gated swing-phase constraints,
+see ocp/problem.constraints) must be neutralized by the caller (set
+d_i > 0), otherwise w_i -> 0 poisons D.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+class PDIPSettings(NamedTuple):
+    iters: int = 15
+    tau: float = 0.95          # fraction-to-boundary
+    reg: float = 1e-8          # Newton-matrix diagonal regularization
+    d_clip: float = 1e8        # clip on the complementarity scaling lam/w
+    mu_min: float = 1e-9       # barrier floor
+
+
+class PDIPResult(NamedTuple):
+    v: jnp.ndarray        # primal solution
+    lam: jnp.ndarray      # inequality multipliers (>= 0)
+    r_prim: jnp.ndarray   # max(C v - d, 0) inf-norm
+    r_dual: jnp.ndarray   # ||H v + g + C' lam||_inf
+    mu: jnp.ndarray       # final complementarity measure
+
+
+def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
+               ) -> PDIPResult:
+    """One QP solve; vmap over leading batch axes for scenario batches."""
+    n = H.shape[0]
+    m = C.shape[0]
+    dt = H.dtype
+    f32 = dt == jnp.float32
+
+    # Cost scaling: the elastic-penalty rows put the QP's natural dual
+    # scale at ~1e4 while the solver initializes lam = 1; minimizing
+    # cs*(cost) has the same argmin but O(1) duals, and the Mehrotra
+    # iteration converges in ~10 steps instead of oscillating (measured
+    # on the landing-tick MPC QP: mu 4.4 -> 1e-12 in 11 iterations).
+    cs = 1.0 / jnp.maximum(jnp.max(jnp.abs(g)), 1.0)
+    H = H * cs
+    g = g * cs
+
+    # dtype-aware safeguards: f32 cannot factor a Newton matrix with the
+    # 1e12 complementarity spread the f64 endgame reaches
+    d_clip = jnp.minimum(settings.d_clip, 1e6) if f32 else settings.d_clip
+    reg = max(settings.reg, 1e-7) if f32 else settings.reg
+    mu_min = max(settings.mu_min, 1e-7) if f32 else settings.mu_min
+
+    v = jnp.zeros(n, dt)
+    w = jnp.maximum(d, 1.0)               # slack: C v + w = d
+    lam = jnp.ones(m, dt)
+
+    def alpha_to_boundary(x, dx, tau):
+        """max step in [0,1] keeping x + a*dx >= (1-tau)*x elementwise."""
+        a = jnp.where(dx < 0, -tau * x / jnp.minimum(dx, -1e-30), 1.0)
+        return jnp.minimum(1.0, jnp.min(a))
+
+    def body(carry, _):
+        v, w, lam = carry
+        r_d = _mm(H, v) + g + _mm(C.T, lam)
+        r_p = _mm(C, v) + w - d
+        mu = jnp.dot(w, lam) / m
+
+        dscale = jnp.clip(lam / w, 1e-12, jnp.asarray(d_clip, dt))
+        M = H + _mm(C.T * dscale, C) \
+            + jnp.asarray(reg, dt) * jnp.eye(n, dtype=dt)
+        chol = cho_factor(M)
+
+        def newton(r_c):
+            rhs = -r_d + _mm(C.T, (r_c - lam * r_p) / w)
+            dv = cho_solve(chol, rhs)
+            dw = -r_p - _mm(C, dv)
+            dlam = (-r_c - lam * dw) / w
+            return dv, dw, dlam
+
+        # predictor (affine scaling)
+        dv_a, dw_a, dlam_a = newton(w * lam)
+        a_p = alpha_to_boundary(w, dw_a, 1.0)
+        a_d = alpha_to_boundary(lam, dlam_a, 1.0)
+        mu_aff = jnp.dot(w + a_p * dw_a, lam + a_d * dlam_a) / m
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector
+        mu_t = jnp.maximum(sigma * mu, mu_min)
+        r_c = w * lam + dw_a * dlam_a - mu_t
+        dv, dw, dlam = newton(r_c)
+
+        a_p = alpha_to_boundary(w, dw, settings.tau)
+        a_d = alpha_to_boundary(lam, dlam, settings.tau)
+        # guarded update: past convergence the f32 Cholesky can fail on
+        # the 1e7-spread complementarity matrix — a non-finite direction
+        # freezes the (already converged) iterate instead of poisoning it
+        ok = (jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw))
+              & jnp.all(jnp.isfinite(dlam)))
+        a_p = jnp.where(ok, a_p, 0.0)
+        a_d = jnp.where(ok, a_d, 0.0)
+        dv = jnp.nan_to_num(dv)
+        dw = jnp.nan_to_num(dw)
+        dlam = jnp.nan_to_num(dlam)
+        v = v + a_p * dv
+        # positivity floors: f32 rounding can push a component of (w, lam)
+        # through zero at the fraction-to-boundary step, which makes the
+        # next Newton matrix indefinite (NaN Cholesky)
+        eps_pos = jnp.asarray(1e-10 if f32 else 1e-14, dt)
+        w = jnp.maximum(w + a_p * dw, eps_pos)
+        lam = jnp.maximum(lam + a_d * dlam, eps_pos)
+        return (v, w, lam), None
+
+    # NOTE: unrolled on purpose.  Under lax.scan the f32 iteration stalls
+    # (mu plateaus ~1.2 where the identical unrolled body reaches 1e-6;
+    # CPU XLA, jax 0.8) — scan's loop-carried layout appears to lose the
+    # rounding pattern the endgame needs.  iters <= ~20 so unrolling is
+    # cheap at trace time.
+    carry = (v, w, lam)
+    for _ in range(settings.iters):
+        carry, _ = body(carry, None)
+    v, w, lam = carry
+
+    r_prim = jnp.max(jnp.maximum(_mm(C, v) - d, 0.0))
+    # report in unscaled units (duals and stationarity divided by cs)
+    r_dual = jnp.max(jnp.abs(_mm(H, v) + g + _mm(C.T, lam))) / cs
+    mu = jnp.dot(w, lam) / m
+    return PDIPResult(v=v, lam=lam / cs, r_prim=r_prim, r_dual=r_dual,
+                      mu=mu)

@@ -77,17 +77,13 @@ def _rollout_X(x0, U, params: problem.MPCParams, cfg: WalkConfig):
     return jnp.concatenate([x0[None], X_tail], axis=0)
 
 
-def solve_mpc(state: SolverState, params: problem.MPCParams,
-              cfg: WalkConfig):
-    """One MPC solve: cfg.sqp_iters SQP iterations (python-unrolled),
-    each an ADMM QP. Returns (new_state, info)."""
-    l_c, u_c = problem.constraint_bounds(cfg)
-    l_c, u_c = jnp.asarray(l_c), jnp.asarray(u_c)
-    P, q = problem.cost_quadratic(params, cfg)
-    settings = ADMMSettings(iters=cfg.admm_iters, rho=cfg.admm_rho,
-                            sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
-                            kkt_form=cfg.admm_kkt_form)
+def prep_warmstart(state: SolverState, params: problem.MPCParams,
+                   cfg: WalkConfig) -> jnp.ndarray:
+    """Gait-consistent warm-start inputs U from the carried iterate.
 
+    Shared by both solver paths (ADMM and condensed-IPM).  See the inline
+    notes — each repair exists because a specific closed-loop failure was
+    traced to the naive carried warm start."""
     # Re-base the warm start: keep the carried U, integrate X from the new
     # x0 so the dynamics rows start exactly feasible.  Without this the
     # bilinear momentum rows leave an O(1) residual that full SQP steps
@@ -150,7 +146,113 @@ def solve_mpc(state: SolverState, params: problem.MPCParams,
         jnp.where(has_l, v_l, U_ws[:, 24:27]))
     U_ws = U_ws.at[:, 27:30].set(
         jnp.where(has_r, v_r, U_ws[:, 27:30]))
+    return U_ws
 
+
+def solve_mpc(state: SolverState, params: problem.MPCParams,
+              cfg: WalkConfig):
+    """One MPC solve. Dispatches on cfg.mpc_solver:
+
+    * "condip" — condensed single-shooting SQP with a dense Mehrotra
+      interior-point inner QP (ocp/condense.py + ops/pdip.py); the
+      high-accuracy production path.
+    * "admm"   — sparse SQP over [X, U] with the OSQP-style ADMM + PDAS
+      inner QP (ops/admm.py); kept as the structured fallback.
+    """
+    if cfg.mpc_solver == "condip":
+        return _solve_mpc_condip(state, params, cfg)
+    return _solve_mpc_admm(state, params, cfg)
+
+
+def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
+                      cfg: WalkConfig):
+    """Condensed SQP: states are always the exact rollout of the inputs
+    (init/dynamics rows exactly feasible by construction), each iteration
+    solves the condensed inequality QP to high accuracy with the
+    interior-point kernel, then a merit line search over the *nonlinear*
+    rollout picks the step (alpha = 0 always a candidate — failure
+    containment, SURVEY.md §5)."""
+    from cmpc_tpu.ocp import condense
+    from cmpc_tpu.ops.pdip import PDIPSettings, pdip_solve
+
+    N = cfg.N
+    nU = 32 * N
+    l_c, u_c = problem.constraint_bounds(cfg)
+    l_c, u_c = jnp.asarray(l_c), jnp.asarray(u_c)
+    n_eq = 20 * (N + 1)
+
+    # proximal weights over dU: foot-velocity / yaw-rate inputs exempt
+    # (the landing transfer needs large foot velocities in one node)
+    w_prox_u = jnp.ones(nU).reshape(N, 32).at[:, 24:].set(1e-3).reshape(-1)
+    settings = PDIPSettings(iters=cfg.pdip_iters)
+
+    U = prep_warmstart(state, params, cfg)
+
+    def merit_of(Xc, Uc):
+        zc = problem.join_z(Xc, Uc)
+        c = problem.constraints(zc, params, cfg)[n_eq:]
+        viol = jnp.sum(jnp.maximum(c - u_c[n_eq:], 0.0)
+                       + jnp.maximum(l_c[n_eq:] - c, 0.0))
+        return problem.cost_value(zc, params, cfg) \
+            + condense.W_ELASTIC * viol
+
+    # Lyapunov/momentum multiplier estimates, carried across ticks in the
+    # matching rows of SolverState.y — they weight the exact constraint
+    # Hessian in the subproblem (condense.soft_row_hessian).  The 1e4 cap
+    # is curvature hygiene: a non-converged QP can report huge duals, and
+    # feeding them back into the Hessian distorts the next subproblem
+    # (observed: carried lam ~5e5 -> |dF| ~ 4,700 N garbage steps).
+    ns = condense.n_slack(cfg)
+    LAM_CAP = 1e4
+    lam_soft = jnp.clip(state.y[n_eq:n_eq + ns], 0.0, LAM_CAP)
+
+    r_dual = jnp.asarray(0.0)
+    X = _rollout_X(params.x0, U, params, cfg)
+    for _ in range(cfg.sqp_iters):
+        z = problem.join_z(X, U)
+        qp = condense.build(z, params, cfg, cfg.condip_prox, w_prox_u,
+                            lam_soft=lam_soft, soft=cfg.condip_soft)
+        res = pdip_solve(qp.H, qp.g, qp.C, qp.d, settings)
+        dU = jnp.nan_to_num(res.v[:nU], nan=0.0, posinf=0.0,
+                            neginf=0.0).reshape(N, 32)
+        lam_new = jnp.nan_to_num(res.lam[:ns] * qp.row_scale[:ns])
+        lam_soft = jnp.clip(lam_new, 0.0, LAM_CAP)
+
+        alphas = (1.0, 0.5, 0.25, 0.0)
+        U_cands = jnp.stack([U + a * dU for a in alphas])
+        X_cands = jax.vmap(
+            lambda Uc: _rollout_X(params.x0, Uc, params, cfg))(U_cands)
+        merits = jax.vmap(merit_of)(X_cands, U_cands)
+        best = jnp.argmin(jnp.nan_to_num(merits, nan=jnp.inf))
+        U = U_cands[best]
+        X = X_cands[best]
+        r_dual = res.r_dual
+
+    z = problem.join_z(X, U)
+    c_final = problem.constraints(z, params, cfg)
+    viol_all = jnp.maximum(c_final - u_c, 0.0) \
+        + jnp.maximum(l_c - c_final, 0.0)
+    lyap = c_final[n_eq:n_eq + N]
+    info = SolveInfo(
+        r_prim=jnp.max(viol_all), r_dual=r_dual,
+        cost=problem.cost_value(z, params, cfg),
+        lyap_violation=jnp.max(jnp.maximum(lyap, 0.0)),
+    )
+    y = state.y.at[n_eq:n_eq + ns].set(lam_soft)
+    return SolverState(z=z, y=y), info
+
+
+def _solve_mpc_admm(state: SolverState, params: problem.MPCParams,
+                    cfg: WalkConfig):
+    """SQP over the full [X, U] stack with the ADMM + PDAS inner QP."""
+    l_c, u_c = problem.constraint_bounds(cfg)
+    l_c, u_c = jnp.asarray(l_c), jnp.asarray(u_c)
+    P, q = problem.cost_quadratic(params, cfg)
+    settings = ADMMSettings(iters=cfg.admm_iters, rho=cfg.admm_rho,
+                            sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+                            kkt_form=cfg.admm_kkt_form)
+
+    U_ws = prep_warmstart(state, params, cfg)
     X_ws = _rollout_X(params.x0, U_ws, params, cfg)
     z = problem.join_z(X_ws, U_ws)
     y = state.y
