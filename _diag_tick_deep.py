@@ -1,5 +1,4 @@
 import sys, jax
-jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
 from cmpc_tpu.config import WalkConfig, nominal_scenario
 from cmpc_tpu.sim import closed_loop

@@ -8,6 +8,11 @@ vs_baseline is the fraction of this chip's share of the north-star target
 (BASELINE.json: >= 10,000 batched solves/s on one v5e *host* = 8 chips =>
 1,250 solves/s/chip).  The reference performs ~1 IPOPT solve / 10 ms tick
 on CPU (~100 solves/s, single scenario).
+
+Accuracy gate (VERDICT round-1 #3): a solves/s number is only reported as
+`value` if the batch's mean primal residual passes R_PRIM_GATE; otherwise
+value is 0.0 and the raw throughput is kept in extra.ungated — a fast
+wrong answer is not a perf number.
 """
 
 import json
@@ -16,15 +21,25 @@ import time
 import jax
 import jax.numpy as jnp
 
+R_PRIM_GATE = 1e-2      # mean max-violation across the batch must beat this
+LYAP_GATE = 1e-2        # mean Lyapunov-row violation cap
+
+
+def _sync_scalar(x):
+    """Device->host fetch of a reduced scalar.  On the tunneled TPU backend
+    jax.block_until_ready returns before remote completion — a tiny fetch
+    is the only reliable sync."""
+    return float(jnp.sum(x))
+
 
 def main():
     from cmpc_tpu.config import WalkConfig, nominal_scenario
-    from cmpc_tpu.ocp import assemble, problem
+    from cmpc_tpu.ocp import assemble
     from cmpc_tpu.ops import sqp
     from cmpc_tpu.plan import com_ref as crm, footsteps, timing as tm
     from cmpc_tpu.models import centroidal as cm
 
-    cfg = WalkConfig(sqp_iters=2, admm_iters=15)
+    cfg = WalkConfig()
     timing = tm.build_timing(cfg)
     sc = nominal_scenario(cfg)
 
@@ -52,35 +67,56 @@ def main():
             lambda s, p: sqp.solve_mpc(s, p, cfg))(states, params)
         return new_states, infos
 
-    # warmup / compile.  NOTE: on the tunneled TPU backend
-    # jax.block_until_ready returns before remote completion — the only
-    # reliable sync is a (tiny) device->host fetch, so all timing below
-    # syncs by fetching a reduced scalar.
+    # warmup / compile
     out_states, infos = step(states, params)
-    _ = float(jnp.sum(out_states.z))
+    _sync_scalar(out_states.z)
 
     reps = 10
     t0 = time.perf_counter()
     s = out_states
     for _ in range(reps):
         s, infos = step(s, params)
-    _ = float(jnp.sum(s.z))   # 4-byte fetch forces completion
+    _sync_scalar(s.z)
     dt = time.perf_counter() - t0
 
     solves_per_s = B * reps / dt
-    # p50-ish single-batch latency
     lat_ms = dt / reps * 1e3
+
+    mean_r_prim = float(jnp.mean(infos.r_prim))
+    mean_lyap = float(jnp.mean(infos.lyap_violation))
+    gated = mean_r_prim < R_PRIM_GATE and mean_lyap < LYAP_GATE
+
+    # ---- single-scenario p50 latency vs the 10 ms real-time budget
+    # (BASELINE.md real-time row)
+    s1 = jax.tree.map(lambda x: x[:1], states)
+    p1 = jax.tree.map(lambda x: x[:1], params)
+    o1, _ = step(s1, p1)
+    _sync_scalar(o1.z)
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        o1, _ = step(s1, p1)
+        _sync_scalar(o1.z)
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50_single_ms = lats[len(lats) // 2] * 1e3
 
     print(json.dumps({
         "metric": "mpc_solves_per_s",
-        "value": round(solves_per_s, 1),
+        "value": round(solves_per_s, 1) if gated else 0.0,
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 1250.0, 3),
+        "vs_baseline": round(solves_per_s / 1250.0, 3) if gated else 0.0,
         "extra": {
             "batch": B,
             "batch_latency_ms": round(lat_ms, 2),
             "device": str(jax.devices()[0]),
-            "mean_r_prim": float(jnp.mean(infos.r_prim)),
+            "mean_r_prim": mean_r_prim,
+            "mean_lyap_violation": mean_lyap,
+            "accuracy_gate": {"r_prim": R_PRIM_GATE, "lyap": LYAP_GATE,
+                              "passed": bool(gated)},
+            "ungated_solves_per_s": round(solves_per_s, 1),
+            "p50_single_solve_ms": round(p50_single_ms, 3),
+            "solver": cfg.mpc_solver,
         },
     }))
 

@@ -185,6 +185,17 @@ class Scenario(NamedTuple):
     init_com: jnp.ndarray          # (3,) initial CoM position
     init_vel: jnp.ndarray          # (3,) initial CoM velocity
     foot_y: jnp.ndarray            # () initial lateral sole offset
+    # --- payload as a dynamic event (simulation_payload.py + box.urdf):
+    # the plant gains `payload_mass` kg at tick `payload_onset`, with a
+    # one-tick downward impact impulse payload_mass * payload_impact_vel
+    # (the box free-falls onto the arms).  payload_mass = 0 disables.
+    payload_mass: jnp.ndarray = jnp.asarray(0.0)       # () kg
+    payload_onset: jnp.ndarray = jnp.asarray(0)        # () tick
+    payload_impact_vel: jnp.ndarray = jnp.asarray(0.0)  # () m/s at impact
+    # lateral footstep offset (the reference's hard-coded +-0.1 m,
+    # footstep_planner_vertices.py:33-36) — scenario data so step-geometry
+    # sweeps batch (BASELINE.json config 4)
+    step_y_offset: jnp.ndarray = jnp.asarray(0.1)      # () m
 
 
 def nominal_scenario(cfg: WalkConfig, mass: float = 40.05,
@@ -209,14 +220,20 @@ def nominal_scenario(cfg: WalkConfig, mass: float = 40.05,
 
 
 def payload_scenario(cfg: WalkConfig, mass: float = 40.05,
-                     payload_mass: float = 2.0) -> Scenario:
-    """The payload variant: a 2 kg box lands on the robot (box.urdf:14),
-    the MPC keeps its nominal mass model, gains k1=7, k2=1
-    (centroidal_mpc_vertices_payload.py:27-31)."""
+                     payload_mass: float = 2.0,
+                     onset_tick: int = 0,
+                     drop_height: float = 0.1) -> Scenario:
+    """The payload variant: a 2 kg box dropped onto the robot's arms
+    (box.urdf:14,79-83) — a mass step at `onset_tick` plus the free-fall
+    impact impulse (v = sqrt(2 g h_drop)); the MPC keeps its nominal mass
+    model, gains k1=7, k2=1 (centroidal_mpc_vertices_payload.py:27-31)."""
     base = nominal_scenario(cfg, mass=mass, push=(0.0, 0.0, 0.0),
                             push_window=(0, 0))
     return base._replace(
         k1=jnp.asarray(7.0),
         k2=jnp.asarray(1.0),
-        plant_mass=jnp.asarray(mass + payload_mass),
+        payload_mass=jnp.asarray(payload_mass),
+        payload_onset=jnp.asarray(onset_tick),
+        payload_impact_vel=jnp.asarray(
+            float(np.sqrt(2.0 * cfg.g * drop_height))),
     )

@@ -223,9 +223,13 @@ def build(z, params: problem.MPCParams, cfg: WalkConfig,
 
     # row layout of the ineq block (problem.constraints docstring):
     # [lyap(N), mom(1), height(N), fric(32N), fz(8N), box(6N)]
-    # The Lyapunov/momentum rows get the tightening margin whether or not
-    # they carry slacks.
-    hi = hi.at[:N + 1].add(-SOFT_MARGIN)
+    # The Lyapunov rows get the tightening margin whether or not they
+    # carry slacks.  The momentum row must NOT be margined: it reads
+    # |hw_1|^2 <= |hw_0|^2, and |hw_0|^2 is ~0 for most of the walk —
+    # a margin makes the row infeasible (|hw_1|^2 >= 0 > |hw_0|^2 - m),
+    # every subproblem then carries a blown-up dual on it, and the
+    # carried lam_soft Hessian correction is polluted from tick 0.
+    hi = hi.at[:N].add(-SOFT_MARGIN)
     n_soft = ns                      # first ns rows get slacks
     n_box = 6 * N
     n_hard = G.shape[0] - n_soft - n_box

@@ -208,9 +208,21 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
 
     r_dual = jnp.asarray(0.0)
     X = _rollout_X(params.x0, U, params, cfg)
+    # Adaptive proximal damping (Levenberg trust region): a rejected step
+    # (best alpha == 0) means the quadratic model lied — the constraint
+    # curvature (lyap/momentum rows are exactly quadratic) made the true
+    # merit worse at every alpha.  Without adaptation the next subproblem
+    # reproposes the SAME rejected step and the SQP stalls at a violated
+    # point (observed at mid-single-support ticks: identical |dF| = 34 N
+    # proposals rejected forever while the closed loop diverged at the LIP
+    # rate).  Growing prox shrinks the step until the linear violation
+    # reduction dominates the quadratic error — merit descent is then
+    # guaranteed, the stall breaks.
+    prox = jnp.asarray(cfg.condip_prox)
+    alphas = (1.0, 0.5, 0.25, 0.1, 0.0)
     for _ in range(cfg.sqp_iters):
         z = problem.join_z(X, U)
-        qp = condense.build(z, params, cfg, cfg.condip_prox, w_prox_u,
+        qp = condense.build(z, params, cfg, prox, w_prox_u,
                             lam_soft=lam_soft, soft=cfg.condip_soft)
         res = pdip_solve(qp.H, qp.g, qp.C, qp.d, settings)
         dU = jnp.nan_to_num(res.v[:nU], nan=0.0, posinf=0.0,
@@ -218,7 +230,6 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
         lam_new = jnp.nan_to_num(res.lam[:ns] * qp.row_scale[:ns])
         lam_soft = jnp.clip(lam_new, 0.0, LAM_CAP)
 
-        alphas = (1.0, 0.5, 0.25, 0.0)
         U_cands = jnp.stack([U + a * dU for a in alphas])
         X_cands = jax.vmap(
             lambda Uc: _rollout_X(params.x0, Uc, params, cfg))(U_cands)
@@ -227,6 +238,12 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
         U = U_cands[best]
         X = X_cands[best]
         r_dual = res.r_dual
+        rejected = best == len(alphas) - 1
+        small = best <= 1           # alpha >= 0.5 accepted
+        prox = jnp.where(rejected, prox * 16.0,
+                         jnp.where(small,
+                                   jnp.maximum(prox / 4.0,
+                                               cfg.condip_prox), prox))
 
     z = problem.join_z(X, U)
     c_final = problem.constraints(z, params, cfg)

@@ -101,19 +101,29 @@ def make_batch(cfg: WalkConfig, n: int, seed: int = 0,
     start = rng.integers(300, 1200, size=n)
     dur = rng.integers(50, 150, size=n)
     payload = rng.uniform(0.0, payload_max, size=n)
+    onset = rng.integers(0, 800, size=n)
     k1 = np.where(payload > 1.0, 7.0, 4.0)
     k2 = np.where(payload > 1.0, 1.0, 0.1)
+    # gait-geometry sweep (BASELINE.json config 4): step length via
+    # velocity-command scaling, lateral offset around the reference 0.1 m
+    vel_scale = rng.uniform(0.7, 1.2, size=(n, 1, 1))
+    step_y = rng.uniform(0.085, 0.115, size=n)
     return Scenario(
         k1=jnp.asarray(k1, jnp.float32),
         k2=jnp.asarray(k2, jnp.float32),
         mpc_mass=tile(base.mpc_mass),
-        plant_mass=jnp.asarray(40.05 + payload, jnp.float32),
+        plant_mass=tile(base.plant_mass),
         push_force=jnp.asarray(push, jnp.float32),
         push_torque=jnp.zeros((n, 3), jnp.float32),
         push_start=jnp.asarray(start),
         push_end=jnp.asarray(start + dur),
-        vref=tile(base.vref),
+        vref=jnp.asarray(np.asarray(base.vref) * vel_scale, jnp.float32),
         init_com=tile(base.init_com),
         init_vel=tile(base.init_vel),
         foot_y=tile(base.foot_y),
+        payload_mass=jnp.asarray(payload, jnp.float32),
+        payload_onset=jnp.asarray(onset),
+        payload_impact_vel=jnp.full((n,), float(np.sqrt(2 * 9.81 * 0.1)),
+                                    jnp.float32),
+        step_y_offset=jnp.asarray(step_y, jnp.float32),
     )

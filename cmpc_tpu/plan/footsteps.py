@@ -38,7 +38,7 @@ def initial_feet_poses(foot_y):
 
 
 def plan_footsteps(vref, cfg: WalkConfig, timing: GaitTiming,
-                   foot_y) -> FootstepPlan:
+                   foot_y, step_y_offset=0.1) -> FootstepPlan:
     """Integrate the unicycle and place S footsteps.
 
     vref: (S, 3) per-step velocity commands (vx, vy, omega).
@@ -57,8 +57,11 @@ def plan_footsteps(vref, cfg: WalkConfig, timing: GaitTiming,
     upos = (lpose[3:5] + rpose[3:5]) / 2.0
     utheta = (lpose[2] + rpose[2]) / 2.0
 
-    # displacement sign: +0.1 when the *plan entry's* foot is the left one
-    disp_sign = jnp.asarray(np.where(timing.foot_is_left, 0.1, -0.1))
+    # lateral displacement: +step_y_offset when the *plan entry's* foot is
+    # the left one (the reference hard-codes 0.1 m,
+    # footstep_planner_vertices.py:33-36; scenario data here)
+    disp_sign = jnp.where(jnp.asarray(timing.foot_is_left),
+                          step_y_offset, -step_y_offset)
 
     def integrate_step(carry, inp):
         upos, utheta = carry

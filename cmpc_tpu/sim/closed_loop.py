@@ -70,7 +70,8 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
         T_sim = cfg.num_steps * (cfg.ss_duration + cfg.ds_duration)
 
     plan0 = footsteps.plan_footsteps(scenario.vref, cfg, timing,
-                                     scenario.foot_y)
+                                     scenario.foot_y,
+                                     scenario.step_y_offset)
     pose_ref_l, pose_ref_r = footsteps.contact_pose_refs(plan0, timing)
     cref = com_ref_mod.build_com_ref(plan0, cfg, timing, scenario.foot_y)
     refs = assemble.RefArrays(com=cref, pose_ref_l=pose_ref_l,
@@ -138,10 +139,22 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
         ext_f = jnp.where(pushing, scenario.push_force, jnp.zeros(3))
         ext_tau = jnp.where(pushing, scenario.push_torque, jnp.zeros(3))
 
+        # payload drop event (simulation_payload.py + box.urdf:79-83): the
+        # plant gains payload_mass at the onset tick, with a one-tick
+        # downward impact impulse m_p * v_impact (momentum transfer of the
+        # free-falling box)
+        has_payload = t >= scenario.payload_onset
+        eff_mass = scenario.plant_mass \
+            + jnp.where(has_payload, scenario.payload_mass, 0.0)
+        impact = (t == scenario.payload_onset) & (scenario.payload_mass > 0)
+        f_impact = (scenario.payload_mass * scenario.payload_impact_vel
+                    / cfg.world_time_step)
+        ext_f = ext_f.at[2].add(jnp.where(impact, -f_impact, 0.0))
+
         plant = plant_step(carry.plant, x1[cm.P_COM], x1[cm.V_COM],
                            com_acc_des, u0, gamma_l_tbl[t], gamma_r_tbl[t],
                            feet.pose_l, feet.pose_r, scenario.mpc_mass,
-                           scenario.plant_mass, ext_f, ext_tau, cfg.g,
+                           eff_mass, ext_f, ext_tau, cfg.g,
                            polygon, cfg.world_time_step)
 
         trace = Trace(

@@ -31,7 +31,7 @@ from cmpc_tpu.rbd.urdf import RobotModel
 from cmpc_tpu.wholebody import inverse_dynamics as wbid
 from cmpc_tpu.wholebody import plant as wbplant
 from cmpc_tpu.wholebody import setup as wbsetup
-from cmpc_tpu.wholebody.state import WBState, retrieve_state
+from cmpc_tpu.wholebody.state import WBState, retrieve_state, zmp_estimate
 
 
 class WBLoopCarry(NamedTuple):
@@ -39,6 +39,7 @@ class WBLoopCarry(NamedTuple):
     plan_pos: jnp.ndarray
     theta_hat: jnp.ndarray
     solver: sqp.SolverState
+    zmp: jnp.ndarray          # (3,) last contact-force ZMP estimate
 
 
 class WBTrace(NamedTuple):
@@ -52,6 +53,7 @@ class WBTrace(NamedTuple):
     pose_l: jnp.ndarray       # measured sole poses [ang, pos]
     pose_r: jnp.ndarray
     tau: jnp.ndarray          # (nj,) commanded torques
+    zmp: jnp.ndarray          # (3,) contact-force ZMP estimate
     r_prim_mpc: jnp.ndarray
     r_prim_id: jnp.ndarray
     adapted: jnp.ndarray
@@ -95,7 +97,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         plant=plant0,
         plan_pos=plan0.pos,
         theta_hat=jnp.zeros(3),
-        solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass))
+        solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass),
+        zmp=jnp.zeros(3))
 
     def tick(carry: WBLoopCarry, t):
         st = retrieve_state(model, carry.plant.q, carry.plant.qv)
@@ -150,21 +153,28 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         pushing = (t > scenario.push_start) & (t < scenario.push_end)
         ext_f = jnp.where(pushing, scenario.push_force, jnp.zeros(3))
         ext_tau = jnp.where(pushing, scenario.push_torque, jnp.zeros(3))
-        plant = wbplant.wb_plant_step(
+        plant, (c_pts, c_forces) = wbplant.wb_plant_step(
             model, carry.plant, tau, ext_force=ext_f, ext_torque=ext_tau,
             dt=cfg.world_time_step, substeps=substeps, g=cfg.g, cp=contact,
-            foot_length=cfg.foot_length, foot_width=cfg.foot_width)
+            foot_length=cfg.foot_length, foot_width=cfg.foot_width,
+            return_contacts=True)
+
+        # contact-force ZMP estimate (simulation.py:328-348)
+        zmp = zmp_estimate(c_pts, c_forces, st.com_pos, st.pose_l[3:6],
+                           model.total_mass, cfg.g, cfg.h,
+                           prev_zmp=carry.zmp)
 
         trace = WBTrace(
             com_pos=st.com_pos, com_vel=st.com_vel,
             com_ref=refs.com.pos[t], com_pos_des=x1[cm.P_COM],
             hw=st.hw, hw_des=x1[cm.H_W], theta_hat=x1[cm.THETA],
-            pose_l=st.pose_l, pose_r=st.pose_r, tau=tau,
+            pose_l=st.pose_l, pose_r=st.pose_r, tau=tau, zmp=zmp,
             r_prim_mpc=info.r_prim, r_prim_id=id_res.r_prim,
             adapted=do_adapt)
 
         return WBLoopCarry(plant=plant, plan_pos=plan_pos,
-                           theta_hat=x1[cm.THETA], solver=solver), trace
+                           theta_hat=x1[cm.THETA], solver=solver,
+                           zmp=zmp), trace
 
     carry, traces = jax.lax.scan(tick, carry0, jnp.arange(T_sim))
     return carry, traces

@@ -132,7 +132,9 @@ def _impulse_substep(model, q, qv, tau, ext_wrench, corners,
 
     lam = jax.lax.fori_loop(0, cp.pgs_iters, sweep, jnp.zeros(24))
     qv_new = v_free + MinvJt @ lam
-    return q, qv_new
+    # impulses -> average forces over the substep (for ZMP estimation,
+    # simulation.py:328-348's per-contact force source)
+    return q, qv_new, pts, lam.reshape(8, 3) / h
 
 
 def wb_plant_step(model: RobotModel, state: WBPlantState, tau,
@@ -141,10 +143,15 @@ def wb_plant_step(model: RobotModel, state: WBPlantState, tau,
                   g: float = 9.81,
                   cp: ContactParams = ContactParams(),
                   foot_length: float = 0.25, foot_width: float = 0.13,
-                  contact_model: str = "impulse"):
+                  contact_model: str = "impulse",
+                  return_contacts: bool = False):
     """One control tick: hold tau constant, integrate `substeps` physics
     steps.  ext_force/ext_torque: world wrench on the base (the
-    disturbance-injection hook, simulation.py:195-198)."""
+    disturbance-injection hook, simulation.py:195-198).
+
+    return_contacts=True additionally returns the final substep's contact
+    points and forces ((8,3) each) — the ZMP-estimation source
+    (simulation.py:328-348)."""
     corners = foot_corner_offsets(foot_length, foot_width)
     h = dt / substeps
     ext_f = jnp.zeros(3) if ext_force is None else ext_force
@@ -154,22 +161,24 @@ def wb_plant_step(model: RobotModel, state: WBPlantState, tau,
     if contact_model == "impulse":
         def substep(carry, _):
             q, qv = carry
-            _, qv_new = _impulse_substep(model, q, qv, tau, ext_wrench,
-                                         corners, cp, g, h)
+            _, qv_new, pts, f_c = _impulse_substep(
+                model, q, qv, tau, ext_wrench, corners, cp, g, h)
             q_new = _integrate_q(q, qv_new, h)
-            return (q_new, qv_new), None
+            return (q_new, qv_new), (pts, f_c)
     elif contact_model == "penalty":
         def substep(carry, _):
             q, qv = carry
             qdd = _penalty_qdd(model, q, qv, tau, ext_wrench, corners,
                                cp, g)
             q_new, qv_new = rbd.integrate(q, qv, qdd, h)
-            return (q_new, qv_new), None
+            return (q_new, qv_new), (jnp.zeros((8, 3)), jnp.zeros((8, 3)))
     else:
         raise ValueError(contact_model)
 
-    (q, qv), _ = jax.lax.scan(substep, (state.q, state.qv), None,
-                              length=substeps)
+    (q, qv), (pts, f_c) = jax.lax.scan(substep, (state.q, state.qv), None,
+                                       length=substeps)
+    if return_contacts:
+        return WBPlantState(q=q, qv=qv), (pts[-1], f_c[-1])
     return WBPlantState(q=q, qv=qv)
 
 

@@ -35,6 +35,43 @@ class WBState(NamedTuple):
     hw: jnp.ndarray         # (3,) centroidal angular momentum
 
 
+def zmp_estimate(contact_points, contact_forces, com_pos, l_foot_pos,
+                 total_mass, g: float, h: float, prev_zmp=None):
+    """Zero-moment-point estimate from contact forces — the functional
+    mirror of Hrp4Controller.retrieve_state's ZMP block
+    (simulation.py:328-348), including its quirks:
+
+    * zmp_z = com_z - Fz / (m g / h) (the LIP normalization);
+    * per-contact terms are skipped when the contact's fz <= 0.1 N;
+    * if the total fz <= 0.1 N the estimate is zeroed (contact lost; the
+      reference notes it should return the previous measurement — pass
+      prev_zmp to get that fixed behavior);
+    * the result is clipped to +-0.3 m around the reference's "midpoint",
+      which is (l_foot + l_foot)/2 == l_foot — the reference's own bug,
+      reproduced so traces are comparable (simulation.py:345-348).
+
+    contact_points/contact_forces: (C, 3) arrays; inactive slots must carry
+    zero force.  Fully jittable (masked, fixed C).
+    """
+    fz = contact_forces[:, 2]
+    f_tot = contact_forces.sum(0)
+    fz_tot = f_tot[2]
+    safe_fz = jnp.where(jnp.abs(fz_tot) > 1e-9, fz_tot, 1.0)
+
+    zmp_z = com_pos[2] - fz_tot / (total_mass * g / h)
+    active = fz > 0.1
+    num_xy = (contact_points[:, :2] * fz[:, None]
+              + (zmp_z - contact_points[:, 2])[:, None]
+              * contact_forces[:, :2])
+    zmp_xy = jnp.sum(jnp.where(active[:, None], num_xy, 0.0), 0) / safe_fz
+    zmp = jnp.concatenate([zmp_xy, zmp_z[None]])
+
+    mid = l_foot_pos  # (l_foot + l_foot)/2, simulation.py:345
+    zmp = jnp.clip(zmp, mid - 0.3, mid + 0.3)
+    fallback = jnp.zeros(3) if prev_zmp is None else prev_zmp
+    return jnp.where(fz_tot > 0.1, zmp, fallback)
+
+
 def retrieve_state(model: RobotModel, q: rbd.RobotQ, qv) -> WBState:
     f = rbd.fk(model, q)
     Rl, pl = rbd.site_pose(model, f, "l_sole")
