@@ -84,7 +84,11 @@ class WalkConfig:
     # subproblem then yields a garbage step that the merit line search
     # rejects (alpha = 0), which is the failure-containment path.
     condip_soft: bool = False
-    sqp_iters: int = 3               # SQP (real-time iteration) count per solve
+    # 6 SQP iterations is the measured closed-loop requirement: at 3 the
+    # late-single-support solves leave r_prim ~0.4 violations whose kicks
+    # accumulate into a fall by step 6-7; at 6 the full 2,100-tick walk
+    # tracks (r_prim p50 7e-4, max 0.42; max CoM err 0.043 over 800 ticks).
+    sqp_iters: int = 6               # SQP (real-time iteration) count per solve
     sqp_prox: float = 20.0           # proximal damping of each SQP QP
     admm_iters: int = 20             # ADMM iterations per QP (before PDAS)
     admm_rho: float = 0.1
@@ -96,6 +100,37 @@ class WalkConfig:
     # stage-structured (block-tridiagonal) linear solves inside the MPC
     # ADMM/PDAS — the OCP fast path (ops/blocktri.py); dense otherwise
     mpc_blocktri: bool = True
+    # --- centroidal plant calibration (sim/plant.py; the {ID + DART}
+    # abstraction).  Compliance: fraction of the out-of-polygon moment
+    # demand that materializes as centroidal angular momentum growth (the
+    # articulated robot absorbs the rest in posture deviation); shed: the
+    # effective rate (1/s) at which the whole-body controller's angular
+    # tasks bleed hw when the CoP has room.  Calibrated against
+    # original_code/cuhw.txt (see sim/plant.py).
+    # shed 3.0 (vs the 1.3 the ds-decay alone suggests) is what makes the
+    # closed loop settle into a periodic gait: at 1.3 a lateral
+    # once-per-gait-cycle oscillation grows slowly (~x1.2/step from step
+    # 10) and fells the walk at step ~13; at 3.0 the 1,400-tick run is
+    # periodic (err max 0.031 m, |hw| cycling 1.35 <-> 0.22).
+    plant_hw_compliance: float = 0.35
+    plant_hw_shed: float = 3.0
+    # Angular-momentum measurement sign: the reference's retrieve_state
+    # NEGATES the whole-body angular momentum it feeds to the MPC
+    # (simulation.py:357-358, `-w_R_link_i @ body.getAngularMomentum(...)`).
+    # This quirk is LOAD-BEARING: under the reflection, the physically
+    # unavoidable single-support tipping torque (CoM outside the support
+    # polygon => h_w must grow) always appears to SHRINK the measured
+    # momentum, so the momentum cap |hw_1| <= |hw_0|
+    # (centroidal_mpc_vertices.py:222-224) never becomes infeasible.  With
+    # the physically-signed measurement the NLP goes mildly infeasible from
+    # mid-single-support (measured: lyap+momentum jointly infeasible by
+    # 5e-4 at tick 243 growing to 1.3e-2 by 250, trust-constr f64; with
+    # the flip the same NLP solves to 5e-10 violation at 25x lower cost) —
+    # the root cause of the round-1/2 first-landing divergence.  The
+    # reference's own traces confirm its measured hw is reflected: mid-ss
+    # its hw_x DECREASES (original_code/cuhw.txt) while the physical
+    # tipping moment is positive.  True reproduces the reference.
+    hw_meas_negated: bool = True
     # x0 swing-foot source: True packs the swing foot's measured position
     # (the commanded swing trajectory) into x0; False reproduces the
     # reference's take-off pin + landing-tick teleport

@@ -35,6 +35,8 @@ def pack_x0(com_pos, com_vel, hw, theta_hat, pose_l, pose_r,
     """Measured-state packing with the reference's quirks
     (centroidal_mpc_vertices.py:482-509):
 
+    * hw NEGATED (cfg.hw_meas_negated — the reference's retrieve_state
+      sign quirk, simulation.py:357-358; load-bearing, see WalkConfig);
     * foot yaw from the measured pose's ang-z, foot z forced to 0;
     * stance feet's positions replaced by the stance override — the static
       per-tick contact ref before the first-step cutoff, the *live* plan
@@ -67,6 +69,11 @@ def pack_x0(com_pos, com_vel, hw, theta_hat, pose_l, pose_r,
         foot_r = jnp.where(gr > 0.5, stance_r, pose_r[3:6])
     else:
         foot_l, foot_r = stance_l, stance_r
+
+    # the reference measures hw NEGATED (simulation.py:357-358) — a
+    # load-bearing quirk: see WalkConfig.hw_meas_negated
+    if cfg is not None and cfg.hw_meas_negated:
+        hw = -hw
 
     return jnp.concatenate([
         com_pos, com_vel, hw, theta_hat,

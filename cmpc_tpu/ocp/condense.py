@@ -64,7 +64,8 @@ def n_slack(cfg: WalkConfig) -> int:
     return cfg.N + 1          # N Lyapunov rows + 1 momentum row
 
 
-def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig):
+def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
+                     psd: bool = True):
     """Convexified exact Hessian of lam' c_soft(z) over z = [vec(X), vec(U)].
 
     The Lyapunov rows (centroidal_mpc_vertices.py:217-220) are exactly
@@ -110,8 +111,13 @@ def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig):
          [k1 ** 2 + 1.0, 2.0 * k1, 1.0 + z4, 1.0 / m],
          [k1, 1.0 + z4, z4, z4],
          [k1 / m, 1.0 / m, z4, z4]])
-    ew, EV = jnp.linalg.eigh(Q)
-    Qp = (EV * jnp.maximum(ew, 0.0)) @ EV.T                # PSD part
+    if psd:
+        ew, EV = jnp.linalg.eigh(Q)
+        Qp = (EV * jnp.maximum(ew, 0.0)) @ EV.T            # PSD part
+    else:
+        # exact (indefinite) Hessian — used by tests to check the hand
+        # derivation against jax.hessian(lam @ c_soft)
+        Qp = Q
 
     # compact 11-coordinate basis per (row, axis): [p, v, theta, f_1..f_8]
     # T maps it to (p, v, V, theta); only V mixes (gamma/m on the forces).

@@ -189,7 +189,9 @@ def rollout_oracle(scenario, cfg: WalkConfig, T_sim: int,
                            float(timing.gamma_r[t]),
                            feet.pose_l, feet.pose_r, scenario.mpc_mass,
                            scenario.plant_mass, ext_f, ext_tau, cfg.g,
-                           polygon, cfg.world_time_step)
+                           polygon, cfg.world_time_step,
+                           hw_compliance=cfg.plant_hw_compliance,
+                           hw_shed=cfg.plant_hw_shed)
         theta_hat = x1[cm.THETA]
         if verbose_every and t % verbose_every == 0:
             err = np.abs(out["com_pos"][-1][:2] - out["com_ref"][-1][:2])

@@ -155,7 +155,9 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
                            com_acc_des, u0, gamma_l_tbl[t], gamma_r_tbl[t],
                            feet.pose_l, feet.pose_r, scenario.mpc_mass,
                            eff_mass, ext_f, ext_tau, cfg.g,
-                           polygon, cfg.world_time_step)
+                           polygon, cfg.world_time_step,
+                           hw_compliance=cfg.plant_hw_compliance,
+                           hw_shed=cfg.plant_hw_shed)
 
         trace = Trace(
             com_pos=carry.plant.com_pos, com_vel=carry.plant.com_vel,

@@ -1,6 +1,12 @@
 """Closed-loop rollout tests: the flat-ground walk must track its CoM
 reference and the footstep plan (the reference's acceptance criterion,
-SURVEY.md §4), and batching must reproduce the single-scenario result."""
+SURVEY.md §4), and batching must reproduce the single-scenario result.
+
+The round-3 plant redesign (sim/plant.py: ZMP-clamped realized wrench with
+whole-body compliance/shedding) plus the reference's negated-hw measurement
+quirk (WalkConfig.hw_meas_negated, simulation.py:357-358) made the walk
+complete; these tests pin that behavior.
+"""
 
 import numpy as np
 import jax
@@ -13,49 +19,57 @@ from cmpc_tpu.sim import closed_loop
 
 @pytest.fixture(scope="module")
 def cfg():
-    # smaller iteration counts keep CPU test time sane; TPU production
-    # configs are exercised by bench.py
-    return WalkConfig(sqp_iters=2, admm_iters=15)
+    return WalkConfig()
 
 
-@pytest.mark.xfail(reason="inner QP (ADMM) underconverges during single "
-                   "support; being replaced by a condensed interior-point "
-                   "solver", strict=False)
-def test_walk_segment_tracks_reference(cfg):
-    """Run the first 320 ticks (long double support + two steps) and check
-    CoM tracking, contact-force sanity, and solver health."""
+@pytest.fixture(scope="module")
+def walk500(cfg):
+    """One 500-tick nominal walk (long double support + three steps,
+    including the first two landings), shared by the tests below."""
     sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
-    T = 320
     carry, tr = jax.jit(
-        lambda s: closed_loop.rollout(s, cfg, T_sim=T))(sc)
+        lambda s: closed_loop.rollout(s, cfg, T_sim=500))(sc)
+    return jax.tree.map(np.asarray, tr)
 
-    com = np.asarray(tr.com_pos)
-    ref = np.asarray(tr.com_ref)
+
+def test_walk_segment_tracks_reference(cfg, walk500):
+    """CoM tracking, contact-force sanity, and solver health over the long
+    double support + three steps (two landings)."""
+    tr = walk500
+    com, ref = tr.com_pos, tr.com_ref
     err_xy = np.abs(com[:, :2] - ref[:, :2])
     assert err_xy.max() < 0.05, err_xy.max()
     assert np.abs(com[:, 2] - cfg.h).max() < 0.03
     # vertical force tracks weight on average after startup
-    fz = np.asarray(tr.forces).reshape(T, 8, 3)[..., 2].sum(-1)
+    fz = tr.forces.reshape(500, 8, 3)[..., 2].sum(-1)
     assert abs(fz[50:].mean() - 40.05 * 9.81) < 30.0
     # solver stayed healthy
-    assert np.asarray(tr.r_prim)[10:].max() < 0.5
+    assert np.median(tr.r_prim) < 1e-2
+    assert tr.r_prim.max() < 1.0
     # the robot is moving forward by the second step
-    assert com[-1, 0] > 0.01
+    assert com[-1, 0] > 0.1
 
 
-def test_footstep_adaptation_events(cfg):
-    sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
-    T = 500
-    _, tr = jax.jit(lambda s: closed_loop.rollout(s, cfg, T_sim=T))(s=sc)
-    adapted = np.asarray(tr.adapted)
+def test_walk_hw_bounded_like_reference(cfg, walk500):
+    """The plant's angular momentum must stay bounded at the reference's
+    scale, growing during single support and shedding across support
+    changes (original_code/cuhw.txt peaks at |hw| ~ 2.4 over the walk;
+    its first single support ends at ~1.8)."""
+    hw = np.linalg.norm(walk500.hw, axis=1)
+    assert hw.max() < 4.0, hw.max()
+    # hw grows during the first single support (tipping physics) ...
+    assert hw[200:270].max() > 0.3
+    # ... and is shed again: no monotone ratchet across steps
+    assert hw[480:].min() < hw[200:480].max()
+
+
+def test_footstep_adaptation_events(cfg, walk500):
+    adapted = walk500.adapted
     # events at t_in_step == 61 of steps 1..: t = 261, 361, 461
     assert adapted[261] and adapted[361] and adapted[461]
     assert adapted.sum() == 3
 
 
-@pytest.mark.xfail(reason="inner QP (ADMM) underconverges during single "
-                   "support; being replaced by a condensed interior-point "
-                   "solver", strict=False)
 def test_vmap_batches_scenarios(cfg):
     """vmap over a 4-scenario batch reproduces the single-scenario traces."""
     sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
