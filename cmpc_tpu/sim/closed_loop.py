@@ -90,12 +90,15 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
     x0_init = x0_init.at[cm.P_COM].set(scenario.init_com)
     x0_init = x0_init.at[cm.V_COM].set(scenario.init_vel)
 
+    # zero members derive from scenario leaves so their device-varying
+    # type matches the tick outputs under shard_map's vma check
+    zero3 = 0.0 * scenario.init_com
     carry0 = LoopCarry(
         plant=PlantState(com_pos=scenario.init_com,
                          com_vel=scenario.init_vel,
-                         hw=jnp.zeros(3)),
+                         hw=zero3),
         plan_pos=plan0.pos,
-        theta_hat=jnp.zeros(3),
+        theta_hat=zero3,
         solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass),
     )
 

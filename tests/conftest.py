@@ -18,3 +18,27 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the closed-loop scans dominate suite time on
+# repeat runs; caching compiled programs across test processes cuts that
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def walk500():
+    """One 500-tick nominal walk (long double support + three steps,
+    including the first two landings).  Session-scoped: shared by the
+    closed-loop behavior tests (test_closed_loop) and the reference-trace
+    parity tests (test_parity) — it is the most expensive fixture in the
+    suite."""
+    from cmpc_tpu.config import WalkConfig, nominal_scenario
+    from cmpc_tpu.sim import closed_loop
+
+    cfg = WalkConfig()
+    sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
+    _, tr = jax.jit(lambda s: closed_loop.rollout(s, cfg, T_sim=500))(sc)
+    return jax.tree.map(np.asarray, tr)

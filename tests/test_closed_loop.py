@@ -22,14 +22,7 @@ def cfg():
     return WalkConfig()
 
 
-@pytest.fixture(scope="module")
-def walk500(cfg):
-    """One 500-tick nominal walk (long double support + three steps,
-    including the first two landings), shared by the tests below."""
-    sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
-    carry, tr = jax.jit(
-        lambda s: closed_loop.rollout(s, cfg, T_sim=500))(sc)
-    return jax.tree.map(np.asarray, tr)
+# walk500: session-scoped fixture in conftest.py (shared with test_parity)
 
 
 def test_walk_segment_tracks_reference(cfg, walk500):
