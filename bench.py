@@ -10,27 +10,48 @@ vs_baseline is the fraction of this chip's share of the north-star target
 on CPU (~100 solves/s, single scenario).
 
 Accuracy gate (VERDICT round-1 #3): a solves/s number is only reported as
-`value` if the batch's mean primal residual passes R_PRIM_GATE; otherwise
-value is 0.0 and the raw throughput is kept in extra.ungated — a fast
-wrong answer is not a perf number.
+`value` if the batch's solve accuracy passes the gate; otherwise value is
+0.0 and the raw throughput is kept in extra.ungated — a fast wrong answer
+is not a perf number.  Round-4 change (VERDICT r3 weak #5): the gate is on
+*percentiles over the batch* (p50 and p95), not the mean — a mean gate
+flips on a single outlier scenario and zeroes otherwise-honest numbers.
+The gate margin is reported either way.
 
-Honesty (VERDICT round-2 weak #2): every timed reputation solves the SAME
-fresh (cold-warm-started) problem — inputs are NOT carried between reps,
-so the gated residual is that of a fresh solve, not a 10x-re-converged
-one.  The gate residuals come from the very solves being timed.
+Honesty (VERDICT round-2 weak #2): every timed rep solves the SAME fresh
+(cold-warm-started) problem — inputs are NOT carried between reps, so the
+gated residual is that of a fresh solve, not a 10x-re-converged one.
+
+Round-4 structure (VERDICT r3 weak #1 / ADVICE r3 high #2): the JSON line
+is printed immediately after the on-device measurements; the CPU scaling
+proxy is NOT run from here at all (it compiled a second CPU sweep inside
+the TPU bench's budget and the rc=124 kill ate the whole round's number —
+run bench_scaling.py standalone; its committed output is SCALING_r04.json).
+A persistent compile cache keeps the driver's timed run from paying the
+full XLA compile again.
 """
 
 import json
 import os
-import subprocess
 import sys
 import time
+
+# persistent compile cache: the batched-step compile is the dominant cost
+# of a cold run (BENCH_r03: 23.5 min); the cache directory is warmed during
+# the build round on this same machine/backend so the driver's run reuses
+# the compiled binary.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
 
-R_PRIM_GATE = 1e-2      # mean max-violation across the batch must beat this
-LYAP_GATE = 1e-2        # mean Lyapunov-row violation cap
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+R_PRIM_GATE_P50 = 1e-2  # median max-violation across the batch
+R_PRIM_GATE_P95 = 1e-1  # p95: no heavy tail of bad solves
+LYAP_GATE_P50 = 1e-2    # median Lyapunov-row violation
 
 
 def _sync_scalar(x):
@@ -85,14 +106,16 @@ def main():
 
     # warmup / compile
     _progress("compiling batched step")
+    t0 = time.perf_counter()
     out_states, infos = step(states, params)
     _sync_scalar(out_states.z)
-    _progress("compiled; timing reps")
+    compile_s = time.perf_counter() - t0
+    _progress(f"compiled in {compile_s:.0f}s; timing reps")
 
     # fresh solves: identical inputs every rep — the residuals gated on
     # below are produced by solves statistically identical to the timed
     # ones (re-solving from an ever-warmer state overstated accuracy and
-    # understates per-solve work, VERDICT r2 weak #2)
+    # understated per-solve work, VERDICT r2 weak #2)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -104,9 +127,13 @@ def main():
     lat_ms = dt / reps * 1e3
     _progress(f"batched reps done ({solves_per_s:.1f}/s); single-solve p50")
 
-    mean_r_prim = float(jnp.mean(infos.r_prim))
-    mean_lyap = float(jnp.mean(infos.lyap_violation))
-    gated = mean_r_prim < R_PRIM_GATE and mean_lyap < LYAP_GATE
+    r_prim = jnp.asarray(infos.r_prim)
+    lyap = jnp.asarray(infos.lyap_violation)
+    r_prim_p50 = float(jnp.percentile(r_prim, 50))
+    r_prim_p95 = float(jnp.percentile(r_prim, 95))
+    lyap_p50 = float(jnp.percentile(lyap, 50))
+    gated = (r_prim_p50 < R_PRIM_GATE_P50 and r_prim_p95 < R_PRIM_GATE_P95
+             and lyap_p50 < LYAP_GATE_P50)
 
     # ---- single-scenario p50 latency vs the 10 ms real-time budget
     # (BASELINE.md real-time row)
@@ -122,22 +149,15 @@ def main():
         lats.append(time.perf_counter() - t0)
     lats.sort()
     p50_single_ms = lats[len(lats) // 2] * 1e3
-    _progress("scaling subprocess")
 
-    # ---- sharded-vs-unsharded scaling proxy (virtual CPU mesh, see
-    # bench_scaling.py).  Subprocess so the CPU mesh cannot disturb the
-    # TPU numbers; skipped on any failure/timeout.
+    # scaling proxy: read the committed standalone result if present —
+    # never run the CPU sweep from inside the TPU bench (ADVICE r3 high #2)
     scaling = None
     try:
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_scaling.py")],
-            capture_output=True, text=True, timeout=420)
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                scaling = json.loads(line)["extra"]
-                break
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING_r04.json")
+        with open(path) as f:
+            scaling = json.load(f).get("extra")
     except Exception:
         pass
 
@@ -149,17 +169,25 @@ def main():
         "extra": {
             "batch": B,
             "batch_latency_ms": round(lat_ms, 2),
+            "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
-            "mean_r_prim": mean_r_prim,
-            "mean_lyap_violation": mean_lyap,
-            "accuracy_gate": {"r_prim": R_PRIM_GATE, "lyap": LYAP_GATE,
-                              "passed": bool(gated)},
+            "r_prim_p50": r_prim_p50,
+            "r_prim_p95": r_prim_p95,
+            "lyap_p50": lyap_p50,
+            "accuracy_gate": {
+                "r_prim_p50": R_PRIM_GATE_P50,
+                "r_prim_p95": R_PRIM_GATE_P95,
+                "lyap_p50": LYAP_GATE_P50,
+                "passed": bool(gated),
+                "margin_p50": round(R_PRIM_GATE_P50 / max(r_prim_p50, 1e-12),
+                                    2),
+            },
             "ungated_solves_per_s": round(solves_per_s, 1),
             "p50_single_solve_ms": round(p50_single_ms, 3),
             "solver": cfg.mpc_solver,
             "scaling": scaling,
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,36 @@ def sweep(scenarios: Scenario, cfg: WalkConfig, T_sim: int,
     return jax.jit(run)(scenarios)
 
 
+class PerScenarioStats(NamedTuple):
+    """Un-reduced per-scenario summary (leading axis = scenario)."""
+
+    rmse: jnp.ndarray       # (B,) CoM xy tracking RMSE
+    max_err: jnp.ndarray    # (B,) max CoM xy tracking error
+    lyap: jnp.ndarray       # (B,) mean Lyapunov violation
+    r_prim: jnp.ndarray     # (B,) mean primal residual
+
+
+def sweep_per_scenario(scenarios: Scenario, cfg: WalkConfig, T_sim: int,
+                       mesh: Mesh | None = None,
+                       axis: str = "batch") -> PerScenarioStats:
+    """Like :func:`sweep` but returns the per-scenario statistics without
+    any collective reduction (out_specs keeps them sharded over the mesh).
+    This is the multi-chip equivalence surface: per-scenario outputs can be
+    compared shard-for-shard against a single-device run of the same shard
+    width, isolating the sharding machinery from XLA's batch-width-
+    dependent fusion (VERDICT r3 next #2)."""
+    mesh = mesh or make_mesh(axis=axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def run(shard: Scenario) -> PerScenarioStats:
+        _, tr = jax.vmap(lambda s: closed_loop.rollout(s, cfg, T_sim))(shard)
+        rmse, maxe, _, lyap, rprim = jax.vmap(_summarize)(tr)
+        return PerScenarioStats(rmse=rmse, max_err=maxe, lyap=lyap,
+                                r_prim=rprim)
+
+    return jax.jit(run)(scenarios)
+
+
 def shard_scenarios(scenarios: Scenario, mesh: Mesh,
                     axis: str = "batch") -> Scenario:
     """Place a batched Scenario with its leading axis sharded on the mesh."""

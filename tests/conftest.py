@@ -15,12 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import platform  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the closed-loop scans dominate suite time on
-# repeat runs; caching compiled programs across test processes cuts that
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# repeat runs; caching compiled programs across test processes cuts that.
+# Keyed per machine (r3 advisor: a cache populated on different silicon
+# triggers cross-machine AOT warnings and is a numerics wildcard).
+_machine = f"{platform.machine()}-{os.cpu_count()}cpu"
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_test_cache-{_machine}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

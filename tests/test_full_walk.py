@@ -1,0 +1,95 @@
+"""The full 20-step acceptance walk, pinned as tests (VERDICT r3 next #5).
+
+The reference's acceptance scenario is the whole ~2,100-tick walk with the
+3 N lateral push for t in (800, 900) (simulation.py:97,195-198), plus the
+payload variant (simulation_payload.py: 2 kg box dropped on the arms,
+box.urdf:79-83, MPC gains k1=7 k2=1).  Round 3 claimed completion in a
+commit message; these tests make any regression turn a test red instead.
+
+Marked slow: ~2,100 scanned ticks x 6 SQP iterations each is minutes of
+CPU.  Run with `pytest -m slow tests/test_full_walk.py`.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from cmpc_tpu.config import WalkConfig, nominal_scenario, payload_scenario
+from cmpc_tpu.plan import timing as timing_mod
+from cmpc_tpu.sim import closed_loop
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return WalkConfig()
+
+
+@pytest.fixture(scope="module")
+def full_walk(cfg):
+    """Nominal 20-step walk WITH the reference's 3 N push window."""
+    sc = nominal_scenario(cfg)   # push (0,3,0) N for t in (800, 900)
+    T = timing_mod.build_timing(cfg).total_ticks   # 2,100 ticks
+    _, tr = jax.jit(lambda s: closed_loop.rollout(s, cfg, T_sim=T))(sc)
+    return jax.tree.map(np.asarray, tr)
+
+
+def test_full_walk_completes(cfg, full_walk):
+    """CoM tracks the spline reference over all 20 steps, through the push."""
+    tr = full_walk
+    err_xy = np.linalg.norm(tr.com_pos[:, :2] - tr.com_ref[:, :2], axis=-1)
+    assert err_xy.max() < 0.05, err_xy.max()
+    assert np.abs(tr.com_pos[:, 2] - cfg.h).max() < 0.03
+    # the robot walked the full course (vref: 11x0.15 + 4x0.13 + 2x0.10
+    # + 3x0 m/s over ~1 s steps => ~2.3 m net forward translation)
+    assert tr.com_pos[-1, 0] > 1.8, tr.com_pos[-1, 0]
+    # solver stayed healthy throughout
+    assert np.median(tr.r_prim) < 1e-2
+    assert np.isfinite(tr.com_pos).all()
+
+
+def test_full_walk_hw_bounded(full_walk):
+    """|h_w| cycles with the gait and never ratchets (reference scale:
+    original_code/cuhw.txt peaks ~2.4)."""
+    hw = np.linalg.norm(full_walk.hw, axis=1)
+    assert hw.max() < 4.0, hw.max()
+    # sheds after the final step: the walk ends settled
+    assert hw[-50:].max() < 1.0, hw[-50:].max()
+
+
+def test_full_walk_adaptation_events(cfg, full_walk):
+    """One footstep-adaptation event per swinging step: steps 1..19 (step 0
+    is the double-support-only dummy, footstep_planner_vertices.py:28-31),
+    each at the ss->ds horizon-crossing tick
+    (centroidal_mpc_vertices.py:656-675)."""
+    timing = timing_mod.build_timing(cfg)
+    adapted = full_walk.adapted
+    expect = np.nonzero(timing.update_event[:len(adapted)])[0]
+    assert len(expect) == cfg.num_steps - 1 == 19
+    assert np.array_equal(np.nonzero(adapted)[0], expect)
+
+
+def test_full_walk_push_recovery(cfg, full_walk):
+    """The 3 N lateral push (t in 801..899) displaces the CoM laterally but
+    the controller absorbs it: the error peak during/after the push decays
+    back to the pre-push envelope."""
+    tr = full_walk
+    err_y = np.abs(tr.com_pos[:, 1] - tr.com_ref[:, 1])
+    pre = err_y[600:800].max()
+    post = err_y[1200:1400].max()
+    assert post < max(2.0 * pre, 0.03), (pre, post)
+
+
+def test_full_payload_walk_completes(cfg):
+    """Payload variant: 2 kg box dropped onto the plant at tick 0 with the
+    free-fall impact impulse; MPC keeps its nominal mass model and the
+    payload gains k1=7, k2=1 (centroidal_mpc_vertices_payload.py:27-31)."""
+    sc = payload_scenario(cfg)
+    T = timing_mod.build_timing(cfg).total_ticks
+    _, tr = jax.jit(lambda s: closed_loop.rollout(s, cfg, T_sim=T))(sc)
+    tr = jax.tree.map(np.asarray, tr)
+    err_xy = np.linalg.norm(tr.com_pos[:, :2] - tr.com_ref[:, :2], axis=-1)
+    assert err_xy.max() < 0.08, err_xy.max()
+    assert tr.com_pos[-1, 0] > 1.8
+    assert np.linalg.norm(tr.hw, axis=1).max() < 4.0
