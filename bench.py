@@ -18,8 +18,16 @@ flips on a single outlier scenario and zeroes otherwise-honest numbers.
 The gate margin is reported either way.
 
 Honesty (VERDICT round-2 weak #2): every timed rep solves the SAME fresh
-(cold-warm-started) problem — inputs are NOT carried between reps, so the
-gated residual is that of a fresh solve, not a 10x-re-converged one.
+problem — inputs are NOT carried between reps, so the gated residual is
+that of a fresh solve, not a 10x-re-converged one.  Round-4 change: the
+fresh problem is solved from the PREVIOUS tick's solver state (one
+untimed cold solve of tick t-1 produces it), because that is the
+production regime — the closed loop warm-starts every solve from the
+last tick, exactly as the reference does (centroidal_mpc_vertices.py:
+630-631).  A cold start at a mid-walk tick is a state the deployed
+controller never sees, and gating on its residual graded the wrong
+computation (measured: cold r_prim p50 1.8e-2 vs warm ~1e-3 at identical
+solver settings).
 
 Round-4 structure (VERDICT r3 weak #1 / ADVICE r3 high #2): the JSON line
 is printed immediately after the on-device measurements; the CPU scaling
@@ -72,7 +80,6 @@ def main():
     from cmpc_tpu.ocp import assemble
     from cmpc_tpu.ops import sqp
     from cmpc_tpu.plan import com_ref as crm, footsteps, timing as tm
-    from cmpc_tpu.models import centroidal as cm
 
     cfg = WalkConfig()
     timing = tm.build_timing(cfg)
@@ -83,19 +90,34 @@ def main():
         pl, pr = footsteps.contact_pose_refs(plan, timing)
         cref = crm.build_com_ref(plan, cfg, timing, s.foot_y)
         refs = assemble.RefArrays(com=cref, pose_ref_l=pl, pose_ref_r=pr)
-        x0 = jnp.zeros(20).at[cm.P_COM].set(
-            s.init_com + 0.005 * jax.random.normal(key, (3,)))
-        x0 = x0.at[cm.POS_L].set(plan.pos[1]).at[cm.POS_R].set(plan.pos[0])
-        params = assemble.gather_params(jnp.asarray(250), x0, refs, timing,
+        # a realistic mid-walk measured state at tick 250 (single support,
+        # landing inside the horizon — the hard solve): CoM near its
+        # reference with a per-scenario 5 mm perturbation, feet packed
+        # exactly as the closed loop packs them (assemble.pack_x0 stance
+        # override + swing-from-trajectory).  The r3 bench pinned the feet
+        # at their tick-0 positions, which made the frozen-stance box rows
+        # infeasible by the walked distance — an artificial residual no
+        # deployed solve ever has (gate margin 0.84 from that alone).
+        t = jnp.asarray(250)
+        kc, kv = jax.random.split(key)
+        com0 = cref.pos[250] + 0.005 * jax.random.normal(kc, (3,))
+        vel0 = cref.vel[250] + 0.01 * jax.random.normal(kv, (3,))
+        x0 = assemble.pack_x0(com0, vel0, jnp.zeros(3), jnp.zeros(3),
+                              pl[250], pr[250], t, plan, refs, timing, cfg)
+        params_prev = assemble.gather_params(t - 1, x0, refs,
+                                             timing, cfg, s.k1, s.k2,
+                                             s.mpc_mass)
+        params = assemble.gather_params(t, x0, refs, timing,
                                         cfg, s.k1, s.k2, s.mpc_mass)
         state = sqp.init_solver_state(cfg, x0, mass=s.mpc_mass)
-        return state, params
+        return state, params_prev, params
 
     B = 256
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     batched = jax.tree.map(lambda x: jnp.stack([x] * B), sc)
     _progress("building inputs")
-    states, params = jax.jit(jax.vmap(make_inputs))(batched, keys)
+    states0, params_prev, params = jax.jit(jax.vmap(make_inputs))(
+        batched, keys)
     _progress("inputs ready")
 
     @jax.jit
@@ -104,11 +126,13 @@ def main():
             lambda s, p: sqp.solve_mpc(s, p, cfg))(states, params)
         return new_states, infos
 
-    # warmup / compile
+    # warmup / compile; the tick-249 solve from the cold iterate also
+    # produces the carried solver state the timed tick-250 solves warm
+    # start from (see module docstring: the production regime)
     _progress("compiling batched step")
     t0 = time.perf_counter()
-    out_states, infos = step(states, params)
-    _sync_scalar(out_states.z)
+    states, _ = step(states0, params_prev)
+    _sync_scalar(states.z)
     compile_s = time.perf_counter() - t0
     _progress(f"compiled in {compile_s:.0f}s; timing reps")
 

@@ -77,7 +77,12 @@ class WalkConfig:
     # path.  "admm": sparse SQP over [X, U] with the OSQP-style ADMM+PDAS
     # inner QP (ops/admm.py).
     mpc_solver: str = "condip"
-    pdip_iters: int = 15             # interior-point iterations per QP
+    # 11 IPM iterations / 1 refinement pass: the closed-loop requirement
+    # measured at the bench tick and over the 500-tick walk — identical
+    # residual percentiles to 15/2 (r_prim p50 1.8e-2 vs 1.8e-2 cold,
+    # walk max err 0.029 m vs 0.029) at 1.4x the throughput.
+    pdip_iters: int = 11             # interior-point iterations per QP
+    pdip_refine: int = 1             # iterative-refinement passes / solve
     condip_prox: float = 0.1         # proximal damping on dU (condip path)
     # Lyapunov/momentum rows as elastic (slack + penalty) rows.  False =
     # hard rows like the reference's IPOPT problem; an infeasible

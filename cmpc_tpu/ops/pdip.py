@@ -47,8 +47,18 @@ class PDIPSettings(NamedTuple):
     # on the MXU; with 4 Newton applications per iteration the explicit
     # inverse wins decisively (measured: 421 -> 136 ms for 15 iterations,
     # batch 256, tools/profile_pdip.py).  f64 CPU tests keep the
-    # substitution path for its slightly better rounding.
+    # substitution path for its slightly better rounding (covered by
+    # tests/test_pdip.py::test_substitution_path).
     explicit_inv: bool = True
+    # how the explicit inverse is built: "blocked" = ops/batched_chol
+    # (blocked factorization + nilpotent-Neumann triangular inverse, all
+    # batched matmuls — ~1.7x the XLA path at (256, 320, 320), measured
+    # 27.8 -> 18.6 ms); "xla" = cho_factor + cho_solve(I).
+    inv_method: str = "blocked"
+    # iterative-refinement passes per Newton solve (see the note in
+    # newton()); 2 recovers the digits f32 loses on the ill-conditioned
+    # endgame matrices with either inverse method.
+    refine: int = 2
 
 
 class PDIPResult(NamedTuple):
@@ -103,11 +113,18 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
         dscale = jnp.clip(lam / w, 1e-12, jnp.asarray(d_clip, dt))
         M = H + _mm(C.T * dscale, C) \
             + jnp.asarray(reg, dt) * jnp.eye(n, dtype=dt)
-        chol = cho_factor(M)
         if settings.explicit_inv:
-            Minv = cho_solve(chol, jnp.eye(n, dtype=dt))
+            # the blocked-matmul inverse only beats XLA's substitution
+            # lowering at large n (panel matmuls need MXU-sized tiles);
+            # small QPs keep the cho path and its rounding behavior
+            if settings.inv_method == "blocked" and n >= 128:
+                from cmpc_tpu.ops.batched_chol import spd_inverse_any
+                Minv = spd_inverse_any(M, nb=64)
+            else:
+                Minv = cho_solve(cho_factor(M), jnp.eye(n, dtype=dt))
             solve = lambda rhs: _mm(Minv, rhs)      # noqa: E731
         else:
+            chol = cho_factor(M)
             solve = lambda rhs: cho_solve(chol, rhs)  # noqa: E731
 
         def newton(r_c):
@@ -117,9 +134,8 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
             # ill-conditioned endgame Newton matrix (each pass is O(n^2)
             # matmuls, noise next to the O(m n^2) CtDC product above).
             # The explicit-inverse application starts a digit behind the
-            # substitution path, so it gets a second pass.
-            dv = dv + solve(rhs - _mm(M, dv))
-            if settings.explicit_inv:
+            # substitution path, so it gets two passes by default.
+            for _ in range(settings.refine):
                 dv = dv + solve(rhs - _mm(M, dv))
             dw = -r_p - _mm(C, dv)
             dlam = (-r_c - lam * dw) / w
@@ -164,7 +180,8 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
     # reproduce: scan and unroll produce identical mu trajectories on both
     # random 331x552 QPs and dumped landing-tick MPC QPs (tick 250
     # converges to mu ~2.5e-7 in 8 iterations either way; the cold tick-265
-    # QP fails identically in both) — pinned by tests/test_pdip.py.
+    # QP fails identically in both; measured off-line with a hand-unrolled
+    # body, not kept as a test since the unrolled variant is not exposed).
     carry, _ = jax.lax.scan(body, (v, w, lam), None,
                             length=settings.iters)
     v, w, lam = carry

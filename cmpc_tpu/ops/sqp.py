@@ -187,7 +187,7 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
     # proximal weights over dU: foot-velocity / yaw-rate inputs exempt
     # (the landing transfer needs large foot velocities in one node)
     w_prox_u = jnp.ones(nU).reshape(N, 32).at[:, 24:].set(1e-3).reshape(-1)
-    settings = PDIPSettings(iters=cfg.pdip_iters)
+    settings = PDIPSettings(iters=cfg.pdip_iters, refine=cfg.pdip_refine)
 
     U = prep_warmstart(state, params, cfg)
 

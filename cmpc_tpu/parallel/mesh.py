@@ -104,8 +104,20 @@ def sweep_per_scenario(scenarios: Scenario, cfg: WalkConfig, T_sim: int,
 
 def shard_scenarios(scenarios: Scenario, mesh: Mesh,
                     axis: str = "batch") -> Scenario:
-    """Place a batched Scenario with its leading axis sharded on the mesh."""
+    """Place a batched Scenario with its leading axis sharded on the mesh.
+
+    Works in both single-process (device_put across local devices) and
+    multi-process/multi-host mode (every process holds the full batch —
+    scenario generation is deterministic — and contributes the shards its
+    addressable devices own via make_array_from_callback; the global
+    array then spans hosts over DCN)."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_callback(
+                jnp.shape(x), sharding,
+                lambda idx, _x=x: np.asarray(_x)[idx]),
+            scenarios)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), scenarios)
 
 

@@ -155,3 +155,22 @@ def test_pdip_on_condensed_mpc_qp():
         assert comp < 1.0, comp
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+def test_substitution_path():
+    """explicit_inv=False (cho_solve substitution per RHS) must agree with
+    the explicit-inverse path — pins the otherwise-dormant branch that f64
+    CPU diagnostics use (PDIPSettings.explicit_inv docstring)."""
+    rng = np.random.default_rng(7)
+    n, m = 12, 20
+    L = rng.normal(size=(n, n))
+    H = jnp.asarray(L @ L.T + np.eye(n), jnp.float32)
+    g = jnp.asarray(rng.normal(size=n), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    d = jnp.asarray(rng.uniform(0.1, 2.0, size=m), jnp.float32)
+    res_inv = pdip_solve(H, g, C, d, PDIPSettings(iters=15))
+    res_sub = pdip_solve(H, g, C, d,
+                         PDIPSettings(iters=15, explicit_inv=False))
+    np.testing.assert_allclose(np.asarray(res_sub.v), np.asarray(res_inv.v),
+                               atol=1e-4)
+    assert float(res_sub.r_prim) < 1e-4
