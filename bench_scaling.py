@@ -40,16 +40,18 @@ def main():
     from cmpc_tpu.parallel import mesh as pmesh
 
     # small solver config: the measurement is communication overhead, not
-    # solve depth
-    cfg = WalkConfig(sqp_iters=2, pdip_iters=8, num_steps=4,
+    # solve depth.  Sized to finish in tens of seconds on the 2-core CI
+    # host (ADVICE r3 #3: the old B=64/T=8 run took >9 min there and was
+    # always timed out when bench.py still called it in-path).
+    cfg = WalkConfig(sqp_iters=2, pdip_iters=6, num_steps=4,
                      ss_duration=7, ds_duration=3)
     devs = jax.devices()
     n_dev = len(devs)
-    B = 8 * n_dev
+    B = 2 * n_dev
     batch = pmesh.make_batch(cfg, n=B, seed=0)
-    T = 8
+    T = 4
 
-    def timed_sweep(mesh, scenarios, reps=3):
+    def timed_sweep(mesh, scenarios, reps=2):
         pmesh.sweep(scenarios, cfg, T_sim=T, mesh=mesh)  # compile
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -70,7 +72,6 @@ def main():
     # should be >= as fast (same work, split across device threads).  The
     # sharding overhead is what the ratio measures.
     overhead = tN / t1
-    eff = min(1.0, 1.0 / overhead)
     print(json.dumps({
         "metric": "sharded_sweep_overhead",
         "value": round(overhead, 4),
@@ -80,10 +81,13 @@ def main():
             "batch": B, "ticks": T,
             "solves_per_s_1dev": round(solves_1, 1),
             "solves_per_s_mesh": round(solves_N, 1),
-            "scaling_eff": round(eff, 4),
             "host_cores": os.cpu_count(),
-            "note": "virtual CPU mesh; ratio measures shard_map+psum "
-                    "overhead, not ICI bandwidth",
+            "note": "smoke-level overhead bound on a virtual CPU mesh "
+                    "(2-core host): the ratio bounds shard_map+psum "
+                    "overhead only — it is NOT an ICI/DCN scaling-"
+                    "efficiency estimate (ADVICE r3 #3); see "
+                    "tests/test_multihost.py for the cross-process DCN "
+                    "path",
         },
     }))
 

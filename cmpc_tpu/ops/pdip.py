@@ -118,8 +118,8 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
             # lowering at large n (panel matmuls need MXU-sized tiles);
             # small QPs keep the cho path and its rounding behavior
             if settings.inv_method == "blocked" and n >= 128:
-                from cmpc_tpu.ops.batched_chol import spd_inverse_any
-                Minv = spd_inverse_any(M, nb=64)
+                from cmpc_tpu.ops.batched_chol import spd_inverse64
+                Minv = spd_inverse64(M)
             else:
                 Minv = cho_solve(cho_factor(M), jnp.eye(n, dtype=dt))
             solve = lambda rhs: _mm(Minv, rhs)      # noqa: E731

@@ -153,6 +153,27 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         pushing = (t > scenario.push_start) & (t < scenario.push_end)
         ext_f = jnp.where(pushing, scenario.push_force, jnp.zeros(3))
         ext_tau = jnp.where(pushing, scenario.push_torque, jnp.zeros(3))
+
+        # payload as a wrench transient on the articulated plant
+        # (simulation_payload.py + box.urdf:79-83: a 2 kg box free-drops
+        # onto the arms and rests there).  The resting box is a constant
+        # downward force at the arms' body-frame offset ahead of the
+        # base (=> a pitch torque); the drop itself is a one-tick impact
+        # impulse m * v_impact / dt.  The MPC is NOT told (its mass model
+        # stays nominal) — robustness comes from the adaptation law, as
+        # in the reference.
+        has_pl = (scenario.payload_mass > 0.0) \
+            & (t >= scenario.payload_onset)
+        w_pl = scenario.payload_mass * cfg.g
+        f_imp = jnp.where(t == scenario.payload_onset,
+                          scenario.payload_mass * scenario.payload_impact_vel
+                          / cfg.world_time_step, 0.0)
+        f_payload = jnp.where(has_pl,
+                              jnp.array([0.0, 0.0, -1.0]) * (w_pl + f_imp),
+                              jnp.zeros(3))
+        arm_offset = jnp.array([0.15, 0.0, 0.15])   # arms rel. base (m)
+        ext_f = ext_f + f_payload
+        ext_tau = ext_tau + jnp.cross(arm_offset, f_payload)
         plant, (c_pts, c_forces) = wbplant.wb_plant_step(
             model, carry.plant, tau, ext_force=ext_f, ext_torque=ext_tau,
             dt=cfg.world_time_step, substeps=substeps, g=cfg.g, cp=contact,
