@@ -53,6 +53,15 @@ class ADMMSettings(NamedTuple):
     eq_rho_scale: float = 1e3
     ruiz_iters: int = 10
     refine_steps: int = 1
+    # OSQP-style residual-balanced rho adaptation (OSQP §5.2): number of
+    # mid-run adaptation events.  Each event splits the iteration budget,
+    # rescales the free-row rho by sqrt(r_prim_rel / r_dual_rel) (clipped
+    # to [1e-2, 1e3]) and re-factors.  A FIXED rho is state-dependently
+    # wrong for the whole-body ID QP: at rho=10 the single-support
+    # problems stall at r_dual ~0.4 (stance fz 6 N of the needed 394 —
+    # the t=238 free-fall bug), while rho=1 stalls a different phase.
+    # Default 0 (off) preserves the MPC solver paths bit-for-bit.
+    rho_adapt: int = 0
     # kkt_form=True: LU-factored KKT system — condition-robust (required
     # for the whole-body ID QP in f32, whose normal equations reach cond
     # 1e11) but the triangular solves serialize poorly on the MXU.
@@ -147,63 +156,88 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings,
     y = c * y0 / E
 
     is_eq = (jnp.isfinite(l) & jnp.isfinite(u) & (jnp.abs(u - l) < 1e-9))
-    rho = jnp.where(is_eq, settings.rho * settings.eq_rho_scale,
-                    settings.rho)
     sigma = settings.sigma
     alpha = settings.alpha
 
     zc = jnp.clip(_mm(A, x), l, u)
 
-    if settings.kkt_form:
-        # KKT-form coefficient matrix (OSQP eq. 15); factored once/solve.
-        K = jnp.block([[P + sigma * jnp.eye(n), A.T],
-                       [A, -jnp.diag(1.0 / rho)]])
-        lu_piv = lu_factor(K)
+    def make_body(rho):
+        """Factor the linear system for this rho and return the ADMM
+        iteration body (branch-specific factorization)."""
+        if settings.kkt_form:
+            # KKT-form coefficient matrix (OSQP eq. 15)
+            K = jnp.block([[P + sigma * jnp.eye(n), A.T],
+                           [A, -jnp.diag(1.0 / rho)]])
+            lu_piv = lu_factor(K)
 
-        def body(_, carry):
-            x, zc, y = carry
-            rhs = jnp.concatenate([sigma * x - q, zc - y / rho])
-            s = _kkt_solve(K, lu_piv, rhs, settings.refine_steps)
-            xt, nu = s[:n], s[n:]
-            zt_kkt = zc + (nu - y) / rho
-            x_new = alpha * xt + (1 - alpha) * x
-            zt = alpha * zt_kkt + (1 - alpha) * zc
-            z_new = jnp.clip(zt + y / rho, l, u)
-            y_new = y + rho * (zt - z_new)
-            return (x_new, z_new, y_new)
-    elif ocp_perm is not None:
-        # block-tridiagonal OCP fast path: stage-structured factorization
-        from cmpc_tpu.ops import blocktri
-        Dblk, Oblk = blocktri.build_blocks(P, A, rho, sigma, ocp_perm)
-        fac = blocktri.factor(Dblk, Oblk)
+            def body(_, carry):
+                x, zc, y = carry
+                rhs = jnp.concatenate([sigma * x - q, zc - y / rho])
+                s = _kkt_solve(K, lu_piv, rhs, settings.refine_steps)
+                xt, nu = s[:n], s[n:]
+                zt_kkt = zc + (nu - y) / rho
+                x_new = alpha * xt + (1 - alpha) * x
+                zt = alpha * zt_kkt + (1 - alpha) * zc
+                z_new = jnp.clip(zt + y / rho, l, u)
+                y_new = y + rho * (zt - z_new)
+                return (x_new, z_new, y_new)
+        elif ocp_perm is not None:
+            # block-tridiagonal OCP fast path: stage-structured factors
+            from cmpc_tpu.ops import blocktri
+            Dblk, Oblk = blocktri.build_blocks(P, A, rho, sigma, ocp_perm)
+            fac = blocktri.factor(Dblk, Oblk)
 
-        def body(_, carry):
-            x, zc, y = carry
-            rhs = sigma * x - q + _mm(A.T, rho * zc - y)
-            xt = blocktri.solve(fac, rhs, ocp_perm)
-            axt = _mm(A, xt)
-            x_new = alpha * xt + (1 - alpha) * x
-            zt = alpha * axt + (1 - alpha) * zc
-            z_new = jnp.clip(zt + y / rho, l, u)
-            y_new = y + rho * (zt - z_new)
-            return (x_new, z_new, y_new)
-    else:
-        # normal-equations fast path: matmul-only iterations on the MXU
-        Mn = P + sigma * jnp.eye(n) + _mm(A.T * rho, A)
-        Minv = jnp.linalg.inv(Mn)
+            def body(_, carry):
+                x, zc, y = carry
+                rhs = sigma * x - q + _mm(A.T, rho * zc - y)
+                xt = blocktri.solve(fac, rhs, ocp_perm)
+                axt = _mm(A, xt)
+                x_new = alpha * xt + (1 - alpha) * x
+                zt = alpha * axt + (1 - alpha) * zc
+                z_new = jnp.clip(zt + y / rho, l, u)
+                y_new = y + rho * (zt - z_new)
+                return (x_new, z_new, y_new)
+        else:
+            # normal-equations fast path: matmul-only iterations (MXU)
+            Mn = P + sigma * jnp.eye(n) + _mm(A.T * rho, A)
+            Minv = jnp.linalg.inv(Mn)
 
-        def body(_, carry):
-            x, zc, y = carry
-            rhs = sigma * x - q + _mm(A.T, rho * zc - y)
-            xt = _mm(Minv, rhs)
-            axt = _mm(A, xt)
-            x_new = alpha * xt + (1 - alpha) * x
-            zt = alpha * axt + (1 - alpha) * zc
-            z_new = jnp.clip(zt + y / rho, l, u)
-            y_new = y + rho * (zt - z_new)
-            return (x_new, z_new, y_new)
+            def body(_, carry):
+                x, zc, y = carry
+                rhs = sigma * x - q + _mm(A.T, rho * zc - y)
+                xt = _mm(Minv, rhs)
+                axt = _mm(A, xt)
+                x_new = alpha * xt + (1 - alpha) * x
+                zt = alpha * axt + (1 - alpha) * zc
+                z_new = jnp.clip(zt + y / rho, l, u)
+                y_new = y + rho * (zt - z_new)
+                return (x_new, z_new, y_new)
+        return body
 
-    x, zc, y = jax.lax.fori_loop(0, settings.iters, body, (x, zc, y))
+    n_stage = settings.rho_adapt + 1
+    iters_per = max(settings.iters // n_stage, 1)
+    rho_free = jnp.asarray(float(settings.rho), P.dtype)
+    for stage in range(n_stage):
+        rho = jnp.where(is_eq, rho_free * settings.eq_rho_scale, rho_free)
+        x, zc, y = jax.lax.fori_loop(0, iters_per, make_body(rho),
+                                     (x, zc, y))
+        if stage + 1 < n_stage:
+            # residual-balanced update (OSQP §5.2), in scaled space
+            ax = _mm(A, x)
+            eps = jnp.asarray(1e-12, P.dtype)
+            rp = jnp.max(jnp.abs(ax - zc)) \
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(ax)),
+                                          jnp.max(jnp.abs(zc))), eps)
+            px = _mm(P, x)
+            aty = _mm(A.T, y)
+            rd = jnp.max(jnp.abs(px + q + aty)) \
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                                          jnp.maximum(jnp.max(jnp.abs(aty)),
+                                                      jnp.max(jnp.abs(q)))),
+                              eps)
+            rho_free = jnp.clip(
+                rho_free * jnp.sqrt(rp / jnp.maximum(rd, eps)),
+                1e-2, 1e3)
 
     # ---- PDAS refinement rounds (KKT form) ----
     fin_l = jnp.isfinite(l)

@@ -61,8 +61,18 @@ class WBTrace(NamedTuple):
 
 def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             T_sim: int | None = None,
-            id_settings: ADMMSettings = ADMMSettings(iters=60, rho=10.0,
-                                                     pdas_rounds=2),
+            # rho_adapt=2: a FIXED rho silently UNDER-CONVERGES the ID
+            # ADMM in a contact-state-dependent way (measured at the
+            # captured t=238 single-support state: rho=10 stalls at
+            # r_dual 0.43 with stance fz 5.9 N of the needed 394 N and
+            # tau ~8 Nm -> the plant free-falls while every logged
+            # residual looks healthy; rho=1 fixes that state but stalls
+            # the t~190 late-double-support solves instead).  Two
+            # residual-balanced rho updates (ops/admm.py rho_adapt)
+            # converge every phase.
+            id_settings: ADMMSettings = ADMMSettings(iters=90, rho=10.0,
+                                                     pdas_rounds=2,
+                                                     rho_adapt=2),
             contact: wbplant.ContactParams = wbplant.ContactParams(),
             substeps: int = 10):
     """Run the articulated robot closed loop for T_sim control ticks."""

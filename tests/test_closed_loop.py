@@ -98,11 +98,18 @@ def test_vmap_batches_scenarios(cfg):
     com = np.asarray(tr_many.com_pos)
     # 1. identical scenarios -> identical rows (bitwise)
     np.testing.assert_array_equal(com[0], com[3])
-    # 2. tight agreement before chaos amplification
+    # 2./3. bounded divergence: same walk, not same bits.  rtol=0: the
+    # bound is ABSOLUTE position error in meters — assert_allclose's
+    # default rtol=1e-7 re-tightened it to ~7e-8 on O(1) coordinates,
+    # below cross-program noise (the residual r3 failure).  Measured
+    # cross-program drift (2026-08-20): 7.3e-4 by tick 150, 8.9e-4 by
+    # 260 — the solver's line-search argmin sits on knife edges that
+    # flip on the first differing ulp, so there is no "tight early
+    # phase"; the bounds are ~3x headroom over measurement.
     np.testing.assert_allclose(com[0, :150], np.asarray(tr_one.com_pos[:150]),
-                               atol=1e-4)
-    # 3. bounded divergence over the full horizon
-    np.testing.assert_allclose(com[0], np.asarray(tr_one.com_pos), atol=5e-3)
+                               rtol=0.0, atol=2e-3)
+    np.testing.assert_allclose(com[0], np.asarray(tr_one.com_pos),
+                               rtol=0.0, atol=5e-3)
     # 4. pushed scenarios diverge from the unpushed one
     d = np.abs(com[1] - com[0])
     assert d.max() > 1e-4
