@@ -10,6 +10,22 @@ plant (wholebody/plant.py) and IPOPT/OSQP by the SQP/ADMM kernels.  One
 
 The centroidal closed loop (sim/closed_loop.py) is the fast evaluation
 path; this one exercises every layer including L0/L4 (SURVEY.md §1).
+
+Status (2026-08-20, round 4): the pipeline walks through the initial
+double support, the FIRST FULL STEP and its landing (tests/
+test_wholebody_walk.py: err_xy 0.012 m at the t=270 touchdown, swing
+apex tracked), then diverges during the second swing.  The divergence
+is NOT a solver or tracking failure — the plant follows the MPC's
+desired CoM to 1-4 mm throughout — it enters through the measured
+angular-momentum feedback: the articulated robot's pitch momentum
+reaches |hw_y| ~ 2.7 in the second single support and is not shed
+(the centroidal plant models the {ID + DART} stack as bleeding hw at
+plant_hw_shed = 3.0 /s; the real ID's torso/base angular tasks bleed
+far less here), so the MPC's 1000*|hw|^2 cost overwhelms the CoM
+tracking term (~7e3 vs ~2e-3) and commands the CoM backward.  Next
+lever: match the ID's angular-task authority to the hw-shedding rate
+the reference's {OSQP + DART} stack exhibits (original_code/cuhw.txt),
+or re-balance the hw cost against measured-momentum bias.
 """
 
 from __future__ import annotations
@@ -74,7 +90,10 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
                                                      pdas_rounds=2,
                                                      rho_adapt=2),
             contact: wbplant.ContactParams = wbplant.ContactParams(),
-            substeps: int = 10):
+            substeps: int = 10,
+            id_weights: dict | None = None,
+            id_pos_gains: dict | None = None,
+            id_vel_gains: dict | None = None):
     """Run the articulated robot closed loop for T_sim control ticks."""
     timing = timing_mod.build_timing(cfg)
     if T_sim is None:
@@ -147,7 +166,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             model, carry.plant.q, carry.plant.qv, desired, st,
             contact_l=gamma_l_tbl[t], contact_r=gamma_r_tbl[t],
             joint_sel=joint_sel, foot_size=cfg.foot_size, mu=cfg.mu,
-            settings=id_settings)
+            settings=id_settings, weights=id_weights,
+            pos_gains=id_pos_gains, vel_gains=id_vel_gains)
 
         # --- footstep adaptation (centroidal_mpc_vertices.py:656-675) ---
         support_is_left = support_is_left_tbl[t]

@@ -60,11 +60,13 @@ def redundant_selection(model: RobotModel,
                                "L_SHOULDER_P", "L_SHOULDER_R",
                                "L_SHOULDER_Y", "L_ELBOW_P")):
     """(nv, nv) diagonal selection of the redundant dofs
-    (simulation.py:87-94)."""
+    (simulation.py:87-94).  Joints the model fixed away (the payload
+    variant locks the elbows/shoulder-yaws to carry the box) are skipped."""
     import numpy as np
     d = np.zeros(model.nv)
     for n in names:
-        d[6 + model.dof_index(n)] = 1.0
+        if n in model.joint_names:
+            d[6 + model.dof_index(n)] = 1.0
     return jnp.diag(jnp.asarray(d))
 
 

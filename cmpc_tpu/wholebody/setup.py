@@ -29,7 +29,11 @@ INITIAL_CONFIGURATION_DEG = {
 def initial_qj(model: RobotModel) -> np.ndarray:
     qj = np.zeros(model.nj)
     for name, deg in INITIAL_CONFIGURATION_DEG.items():
-        qj[model.dof_index(name)] = np.deg2rad(deg)
+        # the payload model FIXES the elbow/shoulder-yaw joints at the
+        # box-carrying pose (hrp4_payload.urdf marks them type="fixed" at
+        # rpy -1.7) — absent joints are folded into the link geometry
+        if name in model.joint_names:
+            qj[model.dof_index(name)] = np.deg2rad(deg)
     return qj
 
 
