@@ -77,11 +77,14 @@ class WalkConfig:
     # path.  "admm": sparse SQP over [X, U] with the OSQP-style ADMM+PDAS
     # inner QP (ops/admm.py).
     mpc_solver: str = "condip"
-    # 11 IPM iterations / 1 refinement pass: the closed-loop requirement
-    # measured at the bench tick and over the 500-tick walk — identical
-    # residual percentiles to 15/2 (r_prim p50 1.8e-2 vs 1.8e-2 cold,
-    # walk max err 0.029 m vs 0.029) at 1.4x the throughput.
-    pdip_iters: int = 11             # interior-point iterations per QP
+    # 8 IPM iterations / 1 refinement pass: the closed-loop requirement
+    # re-measured in round 5 over the 500-tick walk (max err 0.0298 m at
+    # 8 iters vs 0.0286 at 11, r_prim p50 1.2e-3 vs 1.4e-3) at ~1.35x
+    # the throughput; 11 was the r4 setting, kept validated in
+    # tools/_dev scripts.  sqp_iters stays 6: 5 costs err 0.034 and
+    # r_prim max 0.26, 4 costs 0.041 — too close to the 0.05 walking
+    # envelope (tests/test_full_walk.py).
+    pdip_iters: int = 8              # interior-point iterations per QP
     pdip_refine: int = 1             # iterative-refinement passes / solve
     condip_prox: float = 0.1         # proximal damping on dU (condip path)
     # Lyapunov/momentum rows as elastic (slack + penalty) rows.  False =

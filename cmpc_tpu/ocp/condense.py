@@ -58,10 +58,32 @@ class CondensedQP(NamedTuple):
     d: jnp.ndarray      # (mc,)
     E: jnp.ndarray      # (20*(N+1), 32*N) state sensitivity dX = E dU
     row_scale: jnp.ndarray  # (mc,) applied row scaling (for dual un-scaling)
+    # structured=True only: the friction-cone + unilaterality rows (40 per
+    # stage, 400 of the 541 constraint rows at N=10) pulled OUT of C into
+    # per-stage input-local blocks — stage i's rows touch only the 24
+    # force coordinates of dU stage i, so their contribution to the IPM
+    # Newton matrix C' D C is a block-diagonal scatter of (24, 24) blocks
+    # instead of a share of the dense (mc, nv)^2 product (the dominant
+    # matmul of the whole solve, ~3.6x larger with them included).
+    C_blk: jnp.ndarray | None = None   # (N, 40, 24)
+    d_blk: jnp.ndarray | None = None   # (N, 40)
 
 
 def n_slack(cfg: WalkConfig) -> int:
     return cfg.N + 1          # N Lyapunov rows + 1 momentum row
+
+
+def soft_row_parts(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
+                   psd: bool = True):
+    """The pieces of :func:`soft_row_hessian` before the dense scatter:
+    (idx, Q11, lam_mom) with idx (N, 11, 3) the z-coordinates each
+    (row, axis) 11-block touches, Q11 (N, 11, 11) the lam-weighted
+    per-axis blocks, and lam_mom the momentum-row multiplier (2*lam_mom
+    on the hw_1 diagonal).  The condensing fast path contracts these
+    directly against rows of [E; I] instead of scattering into a dense
+    (540, 540) matrix (~300 MB of HBM traffic per materialization at
+    batch 256)."""
+    return _soft_row_impl(lam_soft, params, cfg, psd)
 
 
 def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
@@ -97,6 +119,19 @@ def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
     linear substitution into z-space, so the full subproblem Hessian
     remains PD without any large eigendecomposition.
     """
+    idx, Q11, lam_mom = _soft_row_impl(lam_soft, params, cfg, psd)
+    nz = cfg.n_z
+    H = jnp.zeros((nz, nz), lam_soft.dtype)
+    for k in range(3):
+        ik = idx[:, :, k]                                  # (N,11)
+        H = H.at[ik[:, :, None], ik[:, None, :]].add(Q11)
+    hw1 = 26 + np.arange(3)
+    H = H.at[hw1, hw1].add(2.0 * lam_mom)
+    return H
+
+
+def _soft_row_impl(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
+                   psd: bool = True):
     N = cfg.N
     nX = 20 * (N + 1)
     nz = cfg.n_z
@@ -143,21 +178,13 @@ def soft_row_hessian(lam_soft, params: problem.MPCParams, cfg: WalkConfig,
         (20 * i_ + 9)[:, None, None] + ax[None, None, :],        # theta
         f_cols,
     ], axis=1)                                             # (N,11,3)
-
-    H = jnp.zeros((nz, nz), dt)
-    for k in range(3):
-        ik = idx[:, :, k]                                  # (N,11)
-        H = H.at[ik[:, :, None], ik[:, None, :]].add(Q11)
-
-    hw1 = 26 + np.arange(3)
-    H = H.at[hw1, hw1].add(2.0 * lam_mom)
-    return H
+    return idx, Q11, lam_mom
 
 
 def build(z, params: problem.MPCParams, cfg: WalkConfig,
           prox: jnp.ndarray | float, w_prox_u: jnp.ndarray,
           lam_soft: jnp.ndarray | None = None,
-          soft: bool = True) -> CondensedQP:
+          soft: bool = True, structured: bool = False) -> CondensedQP:
     """Condense the QP at base point z = [vec(Xbar), vec(Ubar)].
 
     prox * diag(w_prox_u) is a proximal (Levenberg) term on dU only — the
@@ -175,21 +202,30 @@ def build(z, params: problem.MPCParams, cfg: WalkConfig,
     nv = nU + ns
     n_eq = 20 * (N + 1)
 
-    X, U = problem.split_z(z, cfg)
-    c, J = problem.linearize(z, params, cfg)
     l_all, u_all = problem.constraint_bounds(cfg)
     l_all, u_all = jnp.asarray(l_all, z.dtype), jnp.asarray(u_all, z.dtype)
 
-    # ---- sensitivity E: dx_{i+1} = A_i dx_i + B_i du_i, dx_0 = 0.
-    # linearize() wrote the dynamics rows as [+I at x_{i+1}] - A_i - B_i,
-    # so A_i and B_i are recovered from J with a sign flip.
-    rows = 20 + 20 * jnp.arange(N)[:, None, None] \
-        + jnp.arange(20)[None, :, None]
-    cols_x = (20 * jnp.arange(N))[:, None, None] + jnp.arange(20)[None, None]
-    cols_u = (nX + 32 * jnp.arange(N))[:, None, None] \
-        + jnp.arange(32)[None, None]
-    A_blk = -J[rows, jnp.broadcast_to(cols_x, (N, 20, 20))]   # (N,20,20)
-    B_blk = -J[rows, jnp.broadcast_to(cols_u, (N, 20, 32))]   # (N,20,32)
+    if structured:
+        # per-block linearization: the dense (m, n_z) J is never
+        # materialized (its batched scatter traffic dominated the
+        # 9-17 ms linearize + the J_in gathers below)
+        parts = problem.linearize_parts(z, params, cfg)
+        c = parts.c
+        A_blk, B_blk = parts.A_blk, parts.B_blk
+        J = None
+    else:
+        c, J = problem.linearize(z, params, cfg)
+        # ---- sensitivity E: dx_{i+1} = A_i dx_i + B_i du_i, dx_0 = 0.
+        # linearize() wrote the dynamics rows as [+I at x_{i+1}] - A_i -
+        # B_i, so A_i and B_i are recovered from J with a sign flip.
+        rows = 20 + 20 * jnp.arange(N)[:, None, None] \
+            + jnp.arange(20)[None, :, None]
+        cols_x = (20 * jnp.arange(N))[:, None, None] \
+            + jnp.arange(20)[None, None]
+        cols_u = (nX + 32 * jnp.arange(N))[:, None, None] \
+            + jnp.arange(32)[None, None]
+        A_blk = -J[rows, jnp.broadcast_to(cols_x, (N, 20, 20))]  # (N,20,20)
+        B_blk = -J[rows, jnp.broadcast_to(cols_u, (N, 20, 32))]  # (N,20,32)
 
     E_rows = [jnp.zeros((20, nU), z.dtype)]
     for i in range(N):
@@ -200,16 +236,38 @@ def build(z, params: problem.MPCParams, cfg: WalkConfig,
 
     # ---- condensed cost: 1/2 dz' P dz + (P z + q)' dz over dz = S dU,
     # S = [[E], [I]];  plus the proximal term and the linear slack penalty.
-    P, q = problem.cost_quadratic(params, cfg)
-    gz = _mm(P, z) + q
-    PH = P if lam_soft is None else P + soft_row_hessian(lam_soft, params,
-                                                         cfg)
-    Pxx, Pxu = PH[:nX, :nX], PH[:nX, nX:]
-    Puu = PH[nX:, nX:]
-    PE = _mm(Pxx, E)                                          # (nX, nU)
-    Hc = _mm(E.T, PE) + _mm(E.T, Pxu) + _mm(Pxu.T, E) + Puu
-    Hc = Hc + prox * jnp.diag(w_prox_u)
-    gc = _mm(E.T, gz[:nX]) + gz[nX:]
+    if structured:
+        # block form: P = blockdiag(diag(dX_diag), Puu) and the soft-row
+        # Hessian contracted against gathered rows of S — no dense
+        # (540, 540) matrix is ever materialized (its scatter/slice
+        # traffic at batch 256 dominated this function's 23 ms).
+        dX_diag, Puu_c, q = problem.cost_quadratic_parts(params, cfg)
+        gz_X = dX_diag * z[:nX] + q[:nX]
+        gz_U = _mm(Puu_c, z[nX:]) + q[nX:]
+        Hc = _mm(E.T, dX_diag[:, None] * E) + Puu_c
+        if lam_soft is not None:
+            idx, Q11, lam_mom = soft_row_parts(lam_soft, params, cfg)
+            SE = jnp.concatenate([E, jnp.eye(nU, dtype=z.dtype)], axis=0)
+            R = SE[idx.reshape(-1)].reshape(N, 11, 3, nU)
+            Y = jnp.einsum("nij,njkb->nikb", Q11, R,
+                           precision=jax.lax.Precision.HIGHEST)
+            Hc = Hc + jnp.einsum("nika,nikb->ab", R, Y,
+                                 precision=jax.lax.Precision.HIGHEST)
+            E_hw1 = E[26:29]                                  # (3, nU)
+            Hc = Hc + 2.0 * lam_mom * _mm(E_hw1.T, E_hw1)
+        Hc = Hc + prox * jnp.diag(w_prox_u)
+        gc = _mm(E.T, gz_X) + gz_U
+    else:
+        P, q = problem.cost_quadratic(params, cfg)
+        gz = _mm(P, z) + q
+        PH = P if lam_soft is None else P + soft_row_hessian(
+            lam_soft, params, cfg)
+        Pxx, Pxu = PH[:nX, :nX], PH[:nX, nX:]
+        Puu = PH[nX:, nX:]
+        PE = _mm(Pxx, E)                                      # (nX, nU)
+        Hc = _mm(E.T, PE) + _mm(E.T, Pxu) + _mm(Pxu.T, E) + Puu
+        Hc = Hc + prox * jnp.diag(w_prox_u)
+        gc = _mm(E.T, gz[:nX]) + gz[nX:]
 
     H = jnp.zeros((nv, nv), z.dtype)
     H = H.at[:nU, :nU].set(Hc)
@@ -221,11 +279,90 @@ def build(z, params: problem.MPCParams, cfg: WalkConfig,
     g = jnp.concatenate([gc, jnp.full(ns, W_ELASTIC, z.dtype)])
 
     # ---- inequality rows, condensed: J_in dz = (J_x E + J_u) dU = G dU
-    J_in = J[n_eq:]
-    G = _mm(J_in[:, :nX], E) + J_in[:, nX:]                   # (m_in, nU)
-    c_in = c[n_eq:]
-    lo = l_all[n_eq:]
-    hi = u_all[n_eq:]
+    # row layout of the ineq block (problem.constraints docstring):
+    # [lyap(N), mom(1), height(N), fric(32N), fz(8N), box(6N)]
+    if structured:
+        # fric/fz rows have ZERO state dependence (they read only the
+        # stage forces), so they never enter the J_x E product; pull them
+        # out as per-stage (40, 24) blocks built in closed form from the
+        # contact gates and keep only [lyap, mom, height, box] dense —
+        # each of which is a contraction of the per-block linearization
+        # against rows of E (no dense J, no (m_in, nX) @ (nX, nU) matmul
+        # over rows that were structurally zero).
+        f0_rel = 2 * N + 1
+        b0_rel = f0_rel + 40 * N
+        sel = np.concatenate([np.arange(f0_rel),
+                              b0_rel + np.arange(6 * N)])
+        c_in = c[n_eq:][sel]
+        lo = l_all[n_eq:][sel]
+        hi = u_all[n_eq:][sel]
+        Er = E.reshape(N + 1, 20, nU)
+        # lyap rows: gx_i @ E_i + gxn_i @ E_{i+1} + gu_i at stage cols
+        G_ly = jnp.einsum("nk,nkj->nj", parts.gx, Er[:N],
+                          precision=jax.lax.Precision.HIGHEST) \
+            + jnp.einsum("nk,nkj->nj", parts.gxn, Er[1:],
+                         precision=jax.lax.Precision.HIGHEST)
+        ucols = (32 * np.arange(N))[:, None] + np.arange(32)[None]
+        G_ly = G_ly.at[np.arange(N)[:, None], ucols].add(parts.gu)
+        # momentum row: 2*hw1 at x_1 hw coords (x_0 rows of E are zero)
+        G_mom = (parts.hw1 @ E[26:29])[None]
+        # height rows: E row of CoM z at node i, i = 0..N-1
+        G_h = E[20 * np.arange(N) + 2]
+        # stance box rows: gamma-gated foot-position rows of E at node i+1
+        rows_bl = (20 * (np.arange(N) + 1))[:, None] + 13 + np.arange(3)
+        G_bl = E[rows_bl.reshape(-1)] \
+            * jnp.repeat(params.gamma_l[1:], 3)[:, None]
+        G_br = E[(rows_bl + 4).reshape(-1)] \
+            * jnp.repeat(params.gamma_r[1:], 3)[:, None]
+        G = jnp.concatenate([G_ly, G_mom, G_h, G_bl, G_br], axis=0)
+        # blocks: rows [fric_l(16), fric_r(16), fz_l(4), fz_r(4)] on the
+        # 24 stage force coords; values per problem.linearize
+        Amu = jnp.asarray(problem._friction_matrix(cfg.mu), z.dtype)
+        blkA = jnp.zeros((16, 12), z.dtype)
+        v_i = np.repeat(np.arange(4), 4)          # vertex of each row
+        k_i = np.tile(np.arange(4), 4)            # cone row of each row
+        blkA = blkA.at[np.arange(16)[:, None],
+                       (3 * v_i)[:, None] + np.arange(3)[None]].set(
+            Amu[k_i])
+        blkZ = jnp.zeros((4, 12), z.dtype)
+        blkZ = blkZ.at[np.arange(4), 3 * np.arange(4) + 2].set(-1.0)
+        z12 = jnp.zeros((16, 12), z.dtype)
+        z4 = jnp.zeros((4, 12), z.dtype)
+        W1 = jnp.concatenate([
+            jnp.concatenate([blkA, z12], axis=1),
+            jnp.concatenate([z12, blkA], axis=1),
+            jnp.concatenate([blkZ, z4], axis=1),
+            jnp.concatenate([z4, blkZ], axis=1)], axis=0)    # (40, 24)
+        gate = jnp.concatenate([
+            jnp.repeat(params.gamma_l[:N, None], 16, 1),
+            jnp.repeat(params.gamma_r[:N, None], 16, 1),
+            jnp.repeat(params.gamma_l[:N, None], 4, 1),
+            jnp.repeat(params.gamma_r[:N, None], 4, 1)], axis=1)  # (N,40)
+        W = W1[None] * gate[:, :, None]                      # (N, 40, 24)
+        cf = c[n_eq + f0_rel:n_eq + b0_rel]
+        c_blk = jnp.concatenate([
+            cf[:16 * N].reshape(N, 16),
+            cf[16 * N:32 * N].reshape(N, 16),
+            cf[32 * N:36 * N].reshape(N, 4),
+            cf[36 * N:].reshape(N, 4)], axis=1)              # (N, 40)
+        d_blk = -c_blk                                       # hi == 0 rows
+        # same row hygiene as the dense rows (equilibrate, neutralize
+        # vacated rows, cap huge slack margins)
+        rn_b = jnp.max(jnp.abs(W), axis=2)
+        vac_b = rn_b < 1e-9
+        sc_b = jnp.where(vac_b, 1.0, 1.0 / jnp.clip(rn_b, 1e-2, None))
+        W = W * sc_b[:, :, None]
+        d_blk = jnp.where(vac_b, 1.0, d_blk * sc_b)
+        fac_b = jnp.minimum(1.0, 10.0 / jnp.maximum(jnp.abs(d_blk), 1e-12))
+        W = W * fac_b[:, :, None]
+        d_blk = d_blk * fac_b
+    else:
+        J_in = J[n_eq:]
+        c_in = c[n_eq:]
+        lo = l_all[n_eq:]
+        hi = u_all[n_eq:]
+        W = d_blk = None
+        G = _mm(J_in[:, :nX], E) + J_in[:, nX:]               # (m_in, nU)
 
     # row layout of the ineq block (problem.constraints docstring):
     # [lyap(N), mom(1), height(N), fric(32N), fz(8N), box(6N)]
@@ -294,4 +431,5 @@ def build(z, params: problem.MPCParams, cfg: WalkConfig,
     fac = jnp.minimum(1.0, D_CAP / jnp.maximum(jnp.abs(d), 1e-12))
     C = C * fac[:, None]
     d = d * fac
-    return CondensedQP(H=H, g=g, C=C, d=d, E=E, row_scale=scale * fac)
+    return CondensedQP(H=H, g=g, C=C, d=d, E=E, row_scale=scale * fac,
+                       C_blk=W, d_blk=d_blk)

@@ -119,16 +119,19 @@ def cost_value(z, p: MPCParams, cfg: WalkConfig):
     return c
 
 
-def cost_quadratic(p: MPCParams, cfg: WalkConfig):
-    """Exact (P, q) with cost(z) = 1/2 z^T P z + q^T z + const.
-
-    P is block-structured: diagonal over X, 4x4 vertex-coupling blocks plus
-    a tridiagonal z-rate coupling over U.  Building it directly costs a few
-    thousand flops vs ~1e8 for an autodiff Hessian.
-    """
+def cost_quadratic_parts(p: MPCParams, cfg: WalkConfig):
+    """The exact cost Hessian/gradient in BLOCK form: (dX_diag, Puu, q)
+    with P = blockdiag(diag(dX_diag), Puu) — the cost has no X-U cross
+    terms, the X block is purely diagonal, and only the U block couples
+    (4x4 vertex blocks + the z-rate tridiagonal).  The condensing fast
+    path (ocp/condense.build(structured=True)) consumes the parts
+    directly: materializing the dense (540, 540) P per SQP iteration at
+    batch 256 moved ~300 MB of HBM per scatter op and dominated
+    condense.build's 23 ms (measured, tools/profile_solve.py); the parts
+    are ~100x smaller."""
     N = cfg.N
     nX = cm.N_X * (N + 1)
-    nz = cfg.n_z
+    nU = cm.N_U * N
     gl, gr = p.gamma_l, p.gamma_r
     wz = _wz(cfg)
 
@@ -154,12 +157,10 @@ def cost_quadratic(p: MPCParams, cfg: WalkConfig):
     bl = jax.vmap(fblock)(gl[:N])   # (N,4,4)
     br = jax.vmap(fblock)(gr[:N])
 
-    # scatter into dense P
-    P = jnp.zeros((nz, nz))
-    P = P + jnp.diag(jnp.concatenate([dX.reshape(-1), jnp.zeros(32 * N)]))
+    Puu = jnp.zeros((nU, nU))
 
-    # static index maps for the force blocks
-    stage_base = nX + 32 * np.arange(N)                      # (N,)
+    # static index maps for the force blocks (within the U coordinates)
+    stage_base = 32 * np.arange(N)                           # (N,)
     vtx = 3 * np.arange(4)                                   # (4,)
     axes = np.arange(3)
     # idx[i, foot, a, j] = stage_base[i] + 12*foot + 3*j + a
@@ -169,7 +170,7 @@ def cost_quadratic(p: MPCParams, cfg: WalkConfig):
     for foot_idx, blocks in ((idx_l, bl), (idx_r, br)):
         for a in range(3):
             rows = foot_idx[:, :, a]                         # (N,4)
-            P = P.at[rows[:, :, None], rows[:, None, :]].add(blocks)
+            Puu = Puu.at[rows[:, :, None], rows[:, None, :]].add(blocks)
 
     # force z-rate tridiagonal coupling (gate at stage i)
     wf = _wf_rate(cfg)
@@ -179,10 +180,10 @@ def cost_quadratic(p: MPCParams, cfg: WalkConfig):
         for zcols, g in ((zcols_l, gl), (zcols_r, gr)):
             gi = g[:N - 1]                                   # (N-1,)
             a_, b_ = zcols[:-1], zcols[1:]                   # (N-1,4)
-            P = P.at[a_, a_].add(2 * wf * gi[:, None])
-            P = P.at[b_, b_].add(2 * wf * gi[:, None])
-            P = P.at[a_, b_].add(-2 * wf * gi[:, None])
-            P = P.at[b_, a_].add(-2 * wf * gi[:, None])
+            Puu = Puu.at[a_, a_].add(2 * wf * gi[:, None])
+            Puu = Puu.at[b_, b_].add(2 * wf * gi[:, None])
+            Puu = Puu.at[a_, b_].add(-2 * wf * gi[:, None])
+            Puu = Puu.at[b_, a_].add(-2 * wf * gi[:, None])
 
     # ---- linear term
     qX = jnp.zeros((N + 1, cm.N_X))
@@ -196,6 +197,20 @@ def cost_quadratic(p: MPCParams, cfg: WalkConfig):
         -2 * W_FOOT * (gr[1:, None] ** 2) * p.pos_ref_r)
     qX = qX.at[1:, cm.PSI_R].set(-2 * W_FOOT * (gr[1:] ** 2) * p.yaw_ref_r)
     q = jnp.concatenate([qX.reshape(-1), jnp.zeros(32 * N)])
+    return dX.reshape(-1), Puu, q
+
+
+def cost_quadratic(p: MPCParams, cfg: WalkConfig):
+    """Exact dense (P, q) with cost(z) = 1/2 z^T P z + q^T z + const,
+    assembled from :func:`cost_quadratic_parts` (the ADMM path and the
+    tests consume the dense form; the condensing fast path uses the
+    parts directly)."""
+    dX_diag, Puu, q = cost_quadratic_parts(p, cfg)
+    nX = dX_diag.shape[0]
+    nz = cfg.n_z
+    P = jnp.zeros((nz, nz))
+    P = P.at[np.arange(nX), np.arange(nX)].set(dX_diag)
+    P = P.at[nX:, nX:].set(Puu)
     return P, q
 
 
@@ -266,54 +281,40 @@ def constraints(z, p: MPCParams, cfg: WalkConfig):
                             fric_l, fric_r, fz_l, fz_r, box_l, box_r])
 
 
-def linearize(z, p: MPCParams, cfg: WalkConfig):
-    """(c(z), J(z)) with the Jacobian assembled analytically per block.
+class LinearizeParts(NamedTuple):
+    """Per-block constraint linearization (the pieces of J without the
+    dense (m, n_z) scatter): dynamics-stage Jacobians, Lyapunov-row
+    gradients, and the momentum-row endpoints.  All other row families
+    (height/friction/fz/box) are closed-form in the contact gates.  The
+    condensing fast path (ocp/condense.build(structured=True)) consumes
+    these directly — materializing J at batch 256 is a ~390 MB buffer
+    whose scatter traffic dominated linearize's 9-17 ms."""
 
-    Replaces `jax.jacfwd(constraints)` — which pushes n_z=540 tangents
-    through the whole constraint stack — with per-stage 52-tangent
-    jacobians for the dynamics rows, per-stage scalar gradients for the
-    Lyapunov rows, and closed-form entries for everything else (the
-    friction/fz/box/height rows are linear with gamma-scaled constant
-    coefficients).  ~10x fewer flops and a much smaller jaxpr.
-    """
+    c: jnp.ndarray       # (m,) constraint values
+    A_blk: jnp.ndarray   # (N, 20, 20) d step / d x_i
+    B_blk: jnp.ndarray   # (N, 20, 32) d step / d u_i
+    gx: jnp.ndarray      # (N, 20) lyap row grad wrt x_i
+    gxn: jnp.ndarray     # (N, 20) lyap row grad wrt x_{i+1}
+    gu: jnp.ndarray      # (N, 32) lyap row grad wrt u_i
+    hw0: jnp.ndarray     # (3,) momentum row: -2*hw0 at x_0
+    hw1: jnp.ndarray     # (3,) momentum row: +2*hw1 at x_1
+
+
+def linearize_parts(z, p: MPCParams, cfg: WalkConfig) -> LinearizeParts:
     X, U = split_z(z, cfg)
     N = cfg.N
-    nX = cm.N_X * (N + 1)
-    nz = cfg.n_z
-    m = num_constraints(cfg)
     gl, gr = p.gamma_l, p.gamma_r
     polygon = cm.foot_polygon(cfg.foot_length, cfg.foot_width)
 
     c = constraints(z, p, cfg)
-    J = jnp.zeros((m, nz))
 
-    colX = lambda i, j: cm.N_X * i + j          # noqa: E731
-    colU = lambda i, j: nX + cm.N_U * i + j     # noqa: E731
-
-    # ---- init rows: I on X0
-    J = J.at[jnp.arange(20), jnp.arange(20)].set(1.0)
-
-    # ---- dynamics rows: X[i+1] - f(X[i], U[i]) -> [+I | -A_i | -B_i]
     def step_fn(x, r, a, b, u):
         return cm.euler_step(x, r, a, b, u, p.k1, p.k2, p.mass, cfg.g,
                              polygon, cfg.delta)
 
     A_blk, B_blk = jax.vmap(jax.jacfwd(step_fn, argnums=(0, 4)))(
         X[:-1], p.com_ref, gl[:N], gr[:N], U)          # (N,20,20),(N,20,32)
-    rows_dyn = 20 + 20 * np.arange(N)[:, None] + np.arange(20)[None, :]
-    cols_x_next = 20 * (np.arange(N) + 1)[:, None] + np.arange(20)[None, :]
-    J = J.at[rows_dyn, cols_x_next].set(1.0)
-    cols_x = (20 * np.arange(N))[:, None, None] + np.arange(20)[None, None]
-    J = J.at[rows_dyn[:, :, None],
-             np.broadcast_to(cols_x, (N, 20, 20))].add(-A_blk)
-    cols_u = (nX + 32 * np.arange(N))[:, None, None] \
-        + np.arange(32)[None, None]
-    J = J.at[rows_dyn[:, :, None],
-             np.broadcast_to(cols_u, (N, 20, 32))].add(-B_blk)
 
-    n_eq = 20 * (N + 1)
-
-    # ---- Lyapunov rows: scalar gradient per stage wrt (x_i, x_{i+1}, u_i)
     def lyap_i(x_i, x_ip1, u_i, ref, gli, gri):
         z1 = x_ip1[cm.P_COM] - ref[0:3]
         z2 = p.k1 * z1 + (x_ip1[cm.V_COM] - ref[3:6])
@@ -328,6 +329,52 @@ def linearize(z, p: MPCParams, cfg: WalkConfig):
 
     gx, gxn, gu = jax.vmap(jax.grad(lyap_i, argnums=(0, 1, 2)))(
         X[:-1], X[1:], U, p.com_ref, gl[:N], gr[:N])   # (N,20)x2,(N,32)
+
+    return LinearizeParts(c=c, A_blk=A_blk, B_blk=B_blk, gx=gx, gxn=gxn,
+                          gu=gu, hw0=-2.0 * X[0, cm.H_W],
+                          hw1=2.0 * X[1, cm.H_W])
+
+
+def linearize(z, p: MPCParams, cfg: WalkConfig):
+    """(c(z), J(z)) with the Jacobian assembled analytically per block.
+
+    Replaces `jax.jacfwd(constraints)` — which pushes n_z=540 tangents
+    through the whole constraint stack — with per-stage 52-tangent
+    jacobians for the dynamics rows (linearize_parts), per-stage scalar
+    gradients for the Lyapunov rows, and closed-form entries for
+    everything else (the friction/fz/box/height rows are linear with
+    gamma-scaled constant coefficients).  ~10x fewer flops and a much
+    smaller jaxpr.
+    """
+    N = cfg.N
+    nX = cm.N_X * (N + 1)
+    nz = cfg.n_z
+    m = num_constraints(cfg)
+    gl, gr = p.gamma_l, p.gamma_r
+
+    parts = linearize_parts(z, p, cfg)
+    c, A_blk, B_blk = parts.c, parts.A_blk, parts.B_blk
+    gx, gxn, gu = parts.gx, parts.gxn, parts.gu
+    J = jnp.zeros((m, nz))
+
+    # ---- init rows: I on X0
+    J = J.at[jnp.arange(20), jnp.arange(20)].set(1.0)
+
+    # ---- dynamics rows: X[i+1] - f(X[i], U[i]) -> [+I | -A_i | -B_i]
+    rows_dyn = 20 + 20 * np.arange(N)[:, None] + np.arange(20)[None, :]
+    cols_x_next = 20 * (np.arange(N) + 1)[:, None] + np.arange(20)[None, :]
+    J = J.at[rows_dyn, cols_x_next].set(1.0)
+    cols_x = (20 * np.arange(N))[:, None, None] + np.arange(20)[None, None]
+    J = J.at[rows_dyn[:, :, None],
+             np.broadcast_to(cols_x, (N, 20, 20))].add(-A_blk)
+    cols_u = (nX + 32 * np.arange(N))[:, None, None] \
+        + np.arange(32)[None, None]
+    J = J.at[rows_dyn[:, :, None],
+             np.broadcast_to(cols_u, (N, 20, 32))].add(-B_blk)
+
+    n_eq = 20 * (N + 1)
+
+    # ---- Lyapunov rows: scalar gradient per stage wrt (x_i, x_{i+1}, u_i)
     rows_ly = n_eq + np.arange(N)
     J = J.at[rows_ly[:, None],
              (20 * np.arange(N))[:, None] + np.arange(20)[None]].add(gx)
@@ -342,8 +389,8 @@ def linearize(z, p: MPCParams, cfg: WalkConfig):
     r_mom = n_eq + N
     hw_cols0 = np.arange(6, 9)
     hw_cols1 = 20 + np.arange(6, 9)
-    J = J.at[r_mom, hw_cols1].set(2.0 * X[1, cm.H_W])
-    J = J.at[r_mom, hw_cols0].set(-2.0 * X[0, cm.H_W])
+    J = J.at[r_mom, hw_cols1].set(parts.hw1)
+    J = J.at[r_mom, hw_cols0].set(parts.hw0)
 
     # ---- height rows: X[i][2], i = 0..N-1
     rows_h = n_eq + N + 1 + np.arange(N)

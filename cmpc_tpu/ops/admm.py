@@ -215,14 +215,26 @@ def admm_solve(P, q, A, l, u, x0, y0, settings: ADMMSettings,
         return body
 
     n_stage = settings.rho_adapt + 1
+    # distribute iterations over stages without dropping the remainder
+    # (iters // n_stage alone silently lost up to n_stage-1 iterations
+    # for non-divisible settings, ADVICE r4); the last stage gets the
+    # extras so the final (best-rho) stage runs longest
     iters_per = max(settings.iters // n_stage, 1)
+    rem = max(settings.iters - iters_per * n_stage, 0)
     rho_free = jnp.asarray(float(settings.rho), P.dtype)
     for stage in range(n_stage):
+        n_it = iters_per + (rem if stage == n_stage - 1 else 0)
         rho = jnp.where(is_eq, rho_free * settings.eq_rho_scale, rho_free)
-        x, zc, y = jax.lax.fori_loop(0, iters_per, make_body(rho),
+        x, zc, y = jax.lax.fori_loop(0, n_it, make_body(rho),
                                      (x, zc, y))
         if stage + 1 < n_stage:
-            # residual-balanced update (OSQP §5.2), in scaled space
+            # residual-balanced update (OSQP §5.2).  NOTE: residuals are
+            # measured in RUIZ-SCALED space (OSQP specifies unscaled);
+            # the scaled-space balance is deliberate — the same Ruiz
+            # equilibration is what makes the f32 solve viable, and
+            # balancing in the solve's own metric is what the stall
+            # diagnosis (sim/wholebody_loop.py id_settings note) was
+            # measured with
             ax = _mm(A, x)
             eps = jnp.asarray(1e-12, P.dtype)
             rp = jnp.max(jnp.abs(ax - zc)) \

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.linalg import cho_factor, cho_solve
 
 _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
@@ -69,13 +70,61 @@ class PDIPResult(NamedTuple):
     mu: jnp.ndarray       # final complementarity measure
 
 
-def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
-               ) -> PDIPResult:
-    """One QP solve; vmap over leading batch axes for scenario batches."""
+def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings(),
+               C_blk=None, d_blk=None) -> PDIPResult:
+    """One QP solve; vmap over leading batch axes for scenario batches.
+
+    C_blk/d_blk (optional): per-stage input-local constraint blocks from
+    ocp/condense.build(structured=True) — (N, rb, cb) rows touching only
+    coordinates [32i, 32i+cb) of v for stage i.  The full constraint set
+    is then [C; blocks] with row order dense-first; duals/slacks follow
+    that order.  The blocks' contribution to the Newton matrix is a
+    block-diagonal scatter of (cb, cb) tiles — O(N rb cb^2) instead of
+    their share of the dense C' D C product, which at the MPC shapes
+    (400 of 541 rows stage-local) cuts the solver's dominant matmul 3.6x.
+    """
     n = H.shape[0]
-    m = C.shape[0]
+    m_d = C.shape[0]
     dt = H.dtype
     f32 = dt == jnp.float32
+
+    if C_blk is not None:
+        Nb, rb, cb = C_blk.shape
+        m = m_d + Nb * rb
+        bcols = (32 * np.arange(Nb))[:, None] + np.arange(cb)[None]
+
+        def Cmv(v):
+            vb = v[:32 * Nb].reshape(Nb, 32)[:, :cb]
+            bv = jnp.einsum("nrc,nc->nr", C_blk, vb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.concatenate([_mm(C, v), bv.reshape(-1)])
+
+        def CTmv(w):
+            wd, wb = w[:m_d], w[m_d:].reshape(Nb, rb)
+            blk = jnp.einsum("nrc,nr->nc", C_blk, wb,
+                             precision=jax.lax.Precision.HIGHEST)
+            pad = jnp.zeros((Nb, 32 - cb), dt)
+            return _mm(C.T, wd) \
+                + jnp.pad(jnp.concatenate([blk, pad], axis=1).reshape(-1),
+                          (0, n - 32 * Nb))
+
+        def newton_matrix(dscale, reg):
+            dd, db = dscale[:m_d], dscale[m_d:].reshape(Nb, rb)
+            M = H + _mm(C.T * dd, C) \
+                + jnp.asarray(reg, dt) * jnp.eye(n, dtype=dt)
+            B = jnp.einsum("nrc,nr,nrd->ncd", C_blk, db, C_blk,
+                           precision=jax.lax.Precision.HIGHEST)
+            return M.at[bcols[:, :, None], bcols[:, None, :]].add(B)
+
+        d = jnp.concatenate([d, d_blk.reshape(-1)])
+    else:
+        m = m_d
+        Cmv = lambda v: _mm(C, v)                    # noqa: E731
+        CTmv = lambda w: _mm(C.T, w)                 # noqa: E731
+
+        def newton_matrix(dscale, reg):
+            return H + _mm(C.T * dscale, C) \
+                + jnp.asarray(reg, dt) * jnp.eye(n, dtype=dt)
 
     # Cost scaling: the elastic-penalty rows put the QP's natural dual
     # scale at ~1e4 while the solver initializes lam = 1; minimizing
@@ -106,13 +155,12 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
 
     def body(carry, _):
         v, w, lam = carry
-        r_d = _mm(H, v) + g + _mm(C.T, lam)
-        r_p = _mm(C, v) + w - d
+        r_d = _mm(H, v) + g + CTmv(lam)
+        r_p = Cmv(v) + w - d
         mu = jnp.dot(w, lam) / m
 
         dscale = jnp.clip(lam / w, 1e-12, jnp.asarray(d_clip, dt))
-        M = H + _mm(C.T * dscale, C) \
-            + jnp.asarray(reg, dt) * jnp.eye(n, dtype=dt)
+        M = newton_matrix(dscale, reg)
         if settings.explicit_inv:
             # the blocked-matmul inverse only beats XLA's substitution
             # lowering at large n (panel matmuls need MXU-sized tiles);
@@ -128,7 +176,7 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
             solve = lambda rhs: cho_solve(chol, rhs)  # noqa: E731
 
         def newton(r_c):
-            rhs = -r_d + _mm(C.T, (r_c - lam * r_p) / w)
+            rhs = -r_d + CTmv((r_c - lam * r_p) / w)
             dv = solve(rhs)
             # iterative refinement: recovers the digits f32 loses on the
             # ill-conditioned endgame Newton matrix (each pass is O(n^2)
@@ -137,7 +185,7 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
             # substitution path, so it gets two passes by default.
             for _ in range(settings.refine):
                 dv = dv + solve(rhs - _mm(M, dv))
-            dw = -r_p - _mm(C, dv)
+            dw = -r_p - Cmv(dv)
             dlam = (-r_c - lam * dw) / w
             return dv, dw, dlam
 
@@ -186,9 +234,9 @@ def pdip_solve(H, g, C, d, settings: PDIPSettings = PDIPSettings()
                             length=settings.iters)
     v, w, lam = carry
 
-    r_prim = jnp.max(jnp.maximum(_mm(C, v) - d, 0.0))
+    r_prim = jnp.max(jnp.maximum(Cmv(v) - d, 0.0))
     # report in unscaled units (duals and stationarity divided by cs)
-    r_dual = jnp.max(jnp.abs(_mm(H, v) + g + _mm(C.T, lam))) / cs
+    r_dual = jnp.max(jnp.abs(_mm(H, v) + g + CTmv(lam))) / cs
     mu = jnp.dot(w, lam) / m
     return PDIPResult(v=v, lam=lam / cs, r_prim=r_prim, r_dual=r_dual,
                       mu=mu)

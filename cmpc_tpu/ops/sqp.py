@@ -226,8 +226,10 @@ def _solve_mpc_condip(state: SolverState, params: problem.MPCParams,
         X, U, lam_soft, prox, _ = carry
         z = problem.join_z(X, U)
         qp = condense.build(z, params, cfg, prox, w_prox_u,
-                            lam_soft=lam_soft, soft=cfg.condip_soft)
-        res = pdip_solve(qp.H, qp.g, qp.C, qp.d, settings)
+                            lam_soft=lam_soft, soft=cfg.condip_soft,
+                            structured=True)
+        res = pdip_solve(qp.H, qp.g, qp.C, qp.d, settings,
+                         C_blk=qp.C_blk, d_blk=qp.d_blk)
         dU = jnp.nan_to_num(res.v[:nU], nan=0.0, posinf=0.0,
                             neginf=0.0).reshape(N, 32)
         lam_new = jnp.nan_to_num(res.lam[:ns] * qp.row_scale[:ns])

@@ -54,6 +54,9 @@ class Trace(NamedTuple):
     r_prim: jnp.ndarray
     lyap_violation: jnp.ndarray
     adapted: jnp.ndarray       # bool: footstep adaptation fired this tick
+    x0: jnp.ndarray            # (20,) the measured state the MPC solved from
+    #   (recorded so the bench can replay production solves verbatim:
+    #    tools/record_walk_states.py -> assets/walk_x0.npz -> bench.py)
 
 
 def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
@@ -172,7 +175,7 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
             forces=u0[0:24],
             mpc_contact_l=x1[cm.POS_L], mpc_contact_r=x1[cm.POS_R],
             r_prim=info.r_prim, lyap_violation=info.lyap_violation,
-            adapted=do_adapt,
+            adapted=do_adapt, x0=x0,
         )
 
         new_carry = LoopCarry(plant=plant, plan_pos=plan_pos,

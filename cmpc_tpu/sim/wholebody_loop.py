@@ -56,6 +56,7 @@ class WBLoopCarry(NamedTuple):
     theta_hat: jnp.ndarray
     solver: sqp.SolverState
     zmp: jnp.ndarray          # (3,) last contact-force ZMP estimate
+    hw_model: jnp.ndarray     # (3,) MPC's own node-1 hw prediction
 
 
 class WBTrace(NamedTuple):
@@ -93,7 +94,9 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             substeps: int = 10,
             id_weights: dict | None = None,
             id_pos_gains: dict | None = None,
-            id_vel_gains: dict | None = None):
+            id_vel_gains: dict | None = None,
+            hw_feedback_scale: float = 1.0,
+            hw_feedback: str = "measured"):
     """Run the articulated robot closed loop for T_sim control ticks."""
     timing = timing_mod.build_timing(cfg)
     if T_sim is None:
@@ -127,7 +130,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         plan_pos=plan0.pos,
         theta_hat=jnp.zeros(3),
         solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass),
-        zmp=jnp.zeros(3))
+        zmp=jnp.zeros(3),
+        hw_model=jnp.zeros(3))
 
     def tick(carry: WBLoopCarry, t):
         st = retrieve_state(model, carry.plant.q, carry.plant.qv)
@@ -135,7 +139,9 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         feet = swing.feet_ref_at(t, plan, cfg, timing, scenario.foot_y)
 
         # --- centroidal MPC on the measured state ---
-        x0 = assemble.pack_x0(st.com_pos, st.com_vel, st.hw,
+        hw_fb = st.hw if hw_feedback == "measured" else carry.hw_model
+        x0 = assemble.pack_x0(st.com_pos, st.com_vel,
+                              hw_feedback_scale * hw_fb,
                               carry.theta_hat, st.pose_l, st.pose_r,
                               t, plan, refs, timing, cfg)
         params = assemble.gather_params(t, x0, refs, timing, cfg,
@@ -201,6 +207,14 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         f_payload = jnp.where(has_pl,
                               jnp.array([0.0, 0.0, -1.0]) * (w_pl + f_imp),
                               jnp.zeros(3))
+        # arm_offset is a BODY-frame arm position relative to the base,
+        # crossed with the world-frame weight and applied as a world
+        # torque: a small-tilt approximation (ADVICE r4) — exact only
+        # while the base stays near-upright, which holds in the walking
+        # envelope (|base pitch/roll| < ~0.1 rad); under large tilt the
+        # pitch arm shortens by cos(tilt) and a roll component appears.
+        # wb_plant_step applies ext_tau about the base origin in world
+        # axes, matching this convention.
         arm_offset = jnp.array([0.15, 0.0, 0.15])   # arms rel. base (m)
         ext_f = ext_f + f_payload
         ext_tau = ext_tau + jnp.cross(arm_offset, f_payload)
@@ -223,9 +237,13 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             r_prim_mpc=info.r_prim, r_prim_id=id_res.r_prim,
             adapted=do_adapt)
 
+        # hw_model is stored in PLANT convention (pack_x0 re-negates per
+        # the reference's measurement quirk), so "model" feedback mode
+        # feeds the MPC exactly what it predicted for this tick
+        sgn = -1.0 if cfg.hw_meas_negated else 1.0
         return WBLoopCarry(plant=plant, plan_pos=plan_pos,
                            theta_hat=x1[cm.THETA], solver=solver,
-                           zmp=zmp), trace
+                           zmp=zmp, hw_model=sgn * x1[cm.H_W]), trace
 
     carry, traces = jax.lax.scan(tick, carry0, jnp.arange(T_sim))
     return carry, traces

@@ -170,3 +170,71 @@ def test_soft_row_hessian_matches_autodiff():
         assert float(ew.min()) > -1e-9
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+def test_structured_build_matches_dense():
+    """structured=True pulls the 40-per-stage friction/unilaterality rows
+    out of C into per-stage (40, 24) input-local blocks (the IPM Newton
+    fast path).  Reassembling the full constraint matrix from the pieces
+    must reproduce the dense build bit-for-bit, and the interior-point
+    solve on both forms must agree."""
+    import numpy as np
+    from cmpc_tpu.config import WalkConfig, nominal_scenario
+    from cmpc_tpu.ocp import assemble
+    from cmpc_tpu.ops import sqp
+    from cmpc_tpu.ops.pdip import PDIPSettings, pdip_solve
+    from cmpc_tpu.plan import com_ref as crm, footsteps, timing as tm
+
+    cfg = WalkConfig()
+    timing = tm.build_timing(cfg)
+    sc = nominal_scenario(cfg)
+    plan = footsteps.plan_footsteps(sc.vref, cfg, timing, sc.foot_y)
+    pl_, pr_ = footsteps.contact_pose_refs(plan, timing)
+    cref = crm.build_com_ref(plan, cfg, timing, sc.foot_y)
+    refs = assemble.RefArrays(com=cref, pose_ref_l=pl_, pose_ref_r=pr_)
+    N, nU = cfg.N, 32 * cfg.N
+    w_prox_u = jnp.ones(nU).reshape(N, 32).at[:, 24:].set(1e-3).reshape(-1)
+    lam = jnp.zeros(condense.n_slack(cfg))
+
+    for t_ in (50, 250):      # double support + landing-in-horizon tick
+        t = jnp.asarray(t_)
+        x0 = assemble.pack_x0(cref.pos[t_] + 0.004, cref.vel[t_],
+                              jnp.zeros(3), jnp.zeros(3), pl_[t_], pr_[t_],
+                              t, plan, refs, timing, cfg)
+        p = assemble.gather_params(t, x0, refs, timing, cfg,
+                                   sc.k1, sc.k2, sc.mpc_mass)
+        state = sqp.init_solver_state(cfg, x0, mass=sc.mpc_mass)
+        U = sqp.prep_warmstart(state, p, cfg)
+        X = sqp._rollout_X(p.x0, U, p, cfg)
+        z = problem.join_z(X, U)
+        qpd = condense.build(z, p, cfg, 0.1, w_prox_u, lam_soft=lam,
+                             soft=cfg.condip_soft)
+        qps = condense.build(z, p, cfg, 0.1, w_prox_u, lam_soft=lam,
+                             soft=cfg.condip_soft, structured=True)
+        # reassemble dense-order rows from the structured pieces
+        rows, dvals = [], []
+        for r0, nr, in ((0, 16), (16, 16), (32, 4), (36, 4)):
+            blk = np.zeros((N, nr, nU), np.float32)
+            for i in range(N):
+                blk[i, :, 32 * i:32 * i + 24] = np.asarray(
+                    qps.C_blk[i, r0:r0 + nr])
+            rows.append(blk.reshape(N * nr, nU))
+            dvals.append(np.asarray(qps.d_blk[:, r0:r0 + nr]).reshape(-1))
+        C_re = np.concatenate([np.asarray(qps.C[:2 * N + 1]), *rows,
+                               np.asarray(qps.C[2 * N + 1:])], axis=0)
+        d_re = np.concatenate([np.asarray(qps.d[:2 * N + 1]), *dvals,
+                               np.asarray(qps.d[2 * N + 1:])])
+        # lyap rows are contracted per-stage (gx @ E_i + ...) instead of
+        # through the dense J_x E matmul — identical up to f32 summation
+        # order (~1e-9); everything else is bit-identical
+        np.testing.assert_allclose(C_re, np.asarray(qpd.C), atol=1e-7)
+        np.testing.assert_allclose(d_re, np.asarray(qpd.d), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(qps.H), np.asarray(qpd.H),
+                                   atol=1e-6)
+
+        st = PDIPSettings(iters=cfg.pdip_iters, refine=cfg.pdip_refine)
+        rd = pdip_solve(qpd.H, qpd.g, qpd.C, qpd.d, st)
+        rs = pdip_solve(qps.H, qps.g, qps.C, qps.d, st,
+                        C_blk=qps.C_blk, d_blk=qps.d_blk)
+        assert float(jnp.abs(rd.v - rs.v).max()) < 1e-3
+        assert abs(float(rd.r_prim) - float(rs.r_prim)) < 1e-4

@@ -84,13 +84,14 @@ def main():
     def f_build(z, params, lam):
         return jax.vmap(lambda zz, p, l: condense.build(
             zz, p, cfg, 0.1, w_prox_u, lam_soft=l,
-            soft=cfg.condip_soft))(z, params, lam)
+            soft=cfg.condip_soft, structured=True))(z, params, lam)
 
     @jax.jit
     def f_pdip(qp):
-        st = PDIPSettings(iters=cfg.pdip_iters)
-        return jax.vmap(lambda H, g, C, d: pdip_solve(H, g, C, d, st))(
-            qp.H, qp.g, qp.C, qp.d)
+        st = PDIPSettings(iters=cfg.pdip_iters, refine=cfg.pdip_refine)
+        return jax.vmap(lambda H, g, C, d, Cb, db: pdip_solve(
+            H, g, C, d, st, C_blk=Cb, d_blk=db))(
+            qp.H, qp.g, qp.C, qp.d, qp.C_blk, qp.d_blk)
 
     @jax.jit
     def f_linesearch(z, params, dU):
