@@ -92,11 +92,17 @@ class WalkConfig:
     # subproblem then yields a garbage step that the merit line search
     # rejects (alpha = 0), which is the failure-containment path.
     condip_soft: bool = False
-    # 6 SQP iterations is the measured closed-loop requirement: at 3 the
-    # late-single-support solves leave r_prim ~0.4 violations whose kicks
-    # accumulate into a fall by step 6-7; at 6 the full 2,100-tick walk
-    # tracks (r_prim p50 7e-4, max 0.42; max CoM err 0.043 over 800 ticks).
-    sqp_iters: int = 6               # SQP (real-time iteration) count per solve
+    # 3 SQP iterations (round-5 recalibration): with the Lyapunov-row
+    # margin at its corrected value (ocp/condense.SOFT_MARGIN 1e-2,
+    # which restores closed-loop contraction the solver itself used to
+    # owe to plant dissipation), the full 2,100-tick walk is CLEAN at
+    # 3 iterations (walk err 0.0244 m, stop 0.109, hw 2.81/4.72,
+    # r_prim p50 4.3e-3) and even at 2 (0.0234/0.108, hw 2.79/3.97 —
+    # the walk-validated latency configuration).  The r4 requirement of
+    # 6 (at margin 2e-3: 3 iters left r_prim ~0.4 landing violations
+    # that felled the walk by step 6-7) no longer binds — the margin,
+    # not the iteration count, was carrying the closed loop.
+    sqp_iters: int = 3               # SQP (real-time iteration) count per solve
     sqp_prox: float = 20.0           # proximal damping of each SQP QP
     admm_iters: int = 20             # ADMM iterations per QP (before PDAS)
     admm_rho: float = 0.1

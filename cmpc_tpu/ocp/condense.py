@@ -47,8 +47,18 @@ _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 W_ELASTIC = 1e6
 
 # Tightening margin on the soft (Lyapunov/momentum) rows; see the note at
-# their assembly below.
-SOFT_MARGIN = 2e-3
+# their assembly below.  Round-5 recalibration: 2e-3 (the r3 value) is
+# enough to stabilize the loop through the dissipative centroidal plant,
+# but NOT under exact execution of the solver's own node-1 predictions —
+# an ideal-execution loop (plant := node-1, the regime the articulated
+# whole-body stack empirically realizes to ~1e-4) diverges at 2e-3 and is
+# bounded at 1e-2 (measured sweep: err windows 0.31 / 0.05 / diverging
+# again at 3e-2 where the margin starts making landing subproblems
+# infeasible).  1e-2 also improves the plant-based 500-tick walk (max err
+# 0.030 -> 0.019).  The margin plays the role of IPOPT's interior bias
+# (c = -mu/lambda < 0) in the reference, which at tol 1e-3 sits at a
+# comparable depth inside the feasible set.
+SOFT_MARGIN = 1e-2
 
 
 class CondensedQP(NamedTuple):

@@ -35,8 +35,15 @@ def _fns(cfg: WalkConfig):
     return cost, grad, con, jac
 
 
-def solve_nlp(z0, params, cfg: WalkConfig, maxiter: int = 200):
+def solve_nlp(z0, params, cfg: WalkConfig, maxiter: int = 200,
+              lyap_margin: float = 0.0):
     """Solve the MPC NLP to high accuracy with SLSQP. Returns (z, info dict).
+
+    lyap_margin > 0 tightens the N Lyapunov-decrease rows by that amount
+    (u_lyap -= margin) — the same tightening the production solver
+    applies (ocp/condense.SOFT_MARGIN), so oracle and production solve
+    the IDENTICAL problem and their costs are comparable.  The returned
+    max_violation is measured against the tightened bounds.
 
     Constraint split: rows [0, n_eq) are equalities (init + dynamics); the
     rest are inequalities l <= c <= u from problem.constraint_bounds (only
@@ -45,6 +52,10 @@ def solve_nlp(z0, params, cfg: WalkConfig, maxiter: int = 200):
     assert jax.config.jax_enable_x64, "oracle requires f64"
     cost, grad, con, jac = _fns(cfg)
     l, u = problem.constraint_bounds(cfg)
+    if lyap_margin:
+        u = np.array(u, copy=True)
+        n_eq0 = 20 * (cfg.N + 1)
+        u[n_eq0:n_eq0 + cfg.N] -= lyap_margin
     n_eq = 20 * (cfg.N + 1)
     lo = np.asarray(l[n_eq:])
     hi = np.asarray(u[n_eq:])

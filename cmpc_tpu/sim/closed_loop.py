@@ -60,12 +60,18 @@ class Trace(NamedTuple):
 
 
 def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
-            return_tick: bool = False):
+            return_tick: bool = False, t0=0, carry_in: LoopCarry = None):
     """Run one scenario closed loop for T_sim ticks. Fully jittable; vmap
     over a batched Scenario for scenario sweeps.
 
     return_tick=True returns (carry0, tick_fn) instead of scanning —
-    used by diagnostics to step the loop manually."""
+    used by diagnostics to step the loop manually.
+
+    t0/carry_in: resume from tick t0 with a previously returned carry —
+    lets callers CHUNK a long walk across several dispatches (the
+    tunneled-TPU runtime kills the worker on a single ~2,000-iteration
+    scan program; tools/run_sweep.py runs full walks as chunked
+    dispatches carrying LoopCarry between them)."""
     timing = timing_mod.build_timing(cfg)
     if T_sim is None:
         # the reference simulates num_steps/world_time_step ticks
@@ -182,7 +188,10 @@ def rollout(scenario: Scenario, cfg: WalkConfig, T_sim: int | None = None,
                               theta_hat=x1[cm.THETA], solver=solver)
         return new_carry, trace
 
+    if carry_in is not None:
+        carry0 = carry_in
     if return_tick:
         return carry0, tick
-    carry, traces = jax.lax.scan(tick, carry0, jnp.arange(T_sim))
+    carry, traces = jax.lax.scan(tick, carry0,
+                                 jnp.asarray(t0) + jnp.arange(T_sim))
     return carry, traces

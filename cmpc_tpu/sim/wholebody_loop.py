@@ -11,21 +11,29 @@ plant (wholebody/plant.py) and IPOPT/OSQP by the SQP/ADMM kernels.  One
 The centroidal closed loop (sim/closed_loop.py) is the fast evaluation
 path; this one exercises every layer including L0/L4 (SURVEY.md §1).
 
-Status (2026-08-20, round 4): the pipeline walks through the initial
+Status (2026-08-21, round 5): the pipeline walks through the initial
 double support, the FIRST FULL STEP and its landing (tests/
 test_wholebody_walk.py: err_xy 0.012 m at the t=270 touchdown, swing
-apex tracked), then diverges during the second swing.  The divergence
-is NOT a solver or tracking failure — the plant follows the MPC's
-desired CoM to 1-4 mm throughout — it enters through the measured
-angular-momentum feedback: the articulated robot's pitch momentum
-reaches |hw_y| ~ 2.7 in the second single support and is not shed
-(the centroidal plant models the {ID + DART} stack as bleeding hw at
-plant_hw_shed = 3.0 /s; the real ID's torso/base angular tasks bleed
-far less here), so the MPC's 1000*|hw|^2 cost overwhelms the CoM
-tracking term (~7e3 vs ~2e-3) and commands the CoM backward.  Next
-lever: match the ID's angular-task authority to the hw-shedding rate
-the reference's {OSQP + DART} stack exhibits (original_code/cuhw.txt),
-or re-balance the hw cost against measured-momentum bias.
+apex tracked), then diverges during the second swing.  The round-4
+hw-shedding hypothesis is REFUTED by experiment: zero/filtered/model
+hw feedback and raised ID angular-task authority all diverge the same
+way (hw_feedback/hw_feedback_scale knobs below were added for those
+experiments and kept).  What the round-5 diagnostics established:
+
+* the WB plant realizes the MPC's node-1 prediction to ~1e-4 m per
+  tick ("exact execution"), and the controller itself is only
+  marginally contractive in that regime — an ideal plant := node-1
+  loop diverges at SOFT_MARGIN 2e-3 and is bounded (err ~0.05) at
+  1e-2 (ocp/condense.py SOFT_MARGIN note; margin recalibrated);
+* the divergence is seeded at the first touch-down: the landing
+  impact leaves a ~0.15 m/s CoM velocity error (x0 diff vs the
+  recorded centroidal walk, assets/walk_x0.npz) that the marginally
+  contractive loop cannot reject before the next landing compounds it.
+
+Next lever: soften the touch-down transfer (the plant's penalty
+contact brakes the late-swing foot harder than DART's impulsive
+contact) or absorb the velocity kick in the solve (impact-aware
+warm start at the ds boundary).
 """
 
 from __future__ import annotations
@@ -57,6 +65,7 @@ class WBLoopCarry(NamedTuple):
     solver: sqp.SolverState
     zmp: jnp.ndarray          # (3,) last contact-force ZMP estimate
     hw_model: jnp.ndarray     # (3,) MPC's own node-1 hw prediction
+    hw_filt: jnp.ndarray      # (3,) low-passed measured hw
 
 
 class WBTrace(NamedTuple):
@@ -74,6 +83,7 @@ class WBTrace(NamedTuple):
     r_prim_mpc: jnp.ndarray
     r_prim_id: jnp.ndarray
     adapted: jnp.ndarray
+    x0: jnp.ndarray           # (20,) the measured state the MPC solved from
 
 
 def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
@@ -96,7 +106,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             id_pos_gains: dict | None = None,
             id_vel_gains: dict | None = None,
             hw_feedback_scale: float = 1.0,
-            hw_feedback: str = "measured"):
+            hw_feedback: str = "measured",
+            hw_filter_tau: float = 0.15):
     """Run the articulated robot closed loop for T_sim control ticks."""
     timing = timing_mod.build_timing(cfg)
     if T_sim is None:
@@ -131,7 +142,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         theta_hat=jnp.zeros(3),
         solver=sqp.init_solver_state(cfg, x0_init, mass=scenario.mpc_mass),
         zmp=jnp.zeros(3),
-        hw_model=jnp.zeros(3))
+        hw_model=jnp.zeros(3),
+        hw_filt=jnp.zeros(3))
 
     def tick(carry: WBLoopCarry, t):
         st = retrieve_state(model, carry.plant.q, carry.plant.qv)
@@ -139,7 +151,10 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         feet = swing.feet_ref_at(t, plan, cfg, timing, scenario.foot_y)
 
         # --- centroidal MPC on the measured state ---
-        hw_fb = st.hw if hw_feedback == "measured" else carry.hw_model
+        a_lp = cfg.world_time_step / hw_filter_tau
+        hw_filt = carry.hw_filt + a_lp * (st.hw - carry.hw_filt)
+        hw_fb = {"measured": st.hw, "model": carry.hw_model,
+                 "filtered": hw_filt}[hw_feedback]
         x0 = assemble.pack_x0(st.com_pos, st.com_vel,
                               hw_feedback_scale * hw_fb,
                               carry.theta_hat, st.pose_l, st.pose_r,
@@ -235,7 +250,7 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
             hw=st.hw, hw_des=x1[cm.H_W], theta_hat=x1[cm.THETA],
             pose_l=st.pose_l, pose_r=st.pose_r, tau=tau, zmp=zmp,
             r_prim_mpc=info.r_prim, r_prim_id=id_res.r_prim,
-            adapted=do_adapt)
+            adapted=do_adapt, x0=x0)
 
         # hw_model is stored in PLANT convention (pack_x0 re-negates per
         # the reference's measurement quirk), so "model" feedback mode
@@ -243,7 +258,8 @@ def rollout(model: RobotModel, scenario: Scenario, cfg: WalkConfig,
         sgn = -1.0 if cfg.hw_meas_negated else 1.0
         return WBLoopCarry(plant=plant, plan_pos=plan_pos,
                            theta_hat=x1[cm.THETA], solver=solver,
-                           zmp=zmp, hw_model=sgn * x1[cm.H_W]), trace
+                           zmp=zmp, hw_model=sgn * x1[cm.H_W],
+                           hw_filt=hw_filt), trace
 
     carry, traces = jax.lax.scan(tick, carry0, jnp.arange(T_sim))
     return carry, traces

@@ -23,7 +23,8 @@ def _fake_trace(T=50):
         pose_l=mk(T, 6), pose_r=mk(T, 6), forces=mk(T, 24),
         mpc_contact_l=mk(T, 3), mpc_contact_r=mk(T, 3),
         r_prim=jnp.abs(mk(T)), lyap_violation=jnp.abs(mk(T)),
-        adapted=jnp.zeros(T, bool).at[jnp.asarray([10, 20])].set(True))
+        adapted=jnp.zeros(T, bool).at[jnp.asarray([10, 20])].set(True),
+        x0=mk(T, 20))
 
 
 def test_trace_save_load_roundtrip(tmp_path):
