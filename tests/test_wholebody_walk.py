@@ -25,12 +25,18 @@ from cmpc_tpu.sim import wholebody_loop as wbl
 pytestmark = pytest.mark.slow
 
 
-def test_wholebody_first_step_and_landing():
+@pytest.fixture(scope="module")
+def wb_walk300():
     model = urdf.load_hrp4()
     cfg = WalkConfig()
     sc = nominal_scenario(cfg, push=(0.0, 0.0, 0.0), push_window=(0, 0))
     _, tr = jax.jit(lambda s: wbl.rollout(model, s, cfg, T_sim=300))(sc)
-    tr = jax.tree.map(np.asarray, tr)
+    return jax.tree.map(np.asarray, tr)
+
+
+def test_wholebody_first_step_and_landing(wb_walk300):
+    cfg = WalkConfig()
+    tr = wb_walk300
 
     err_xy = np.linalg.norm(tr.com_pos[:, :2] - tr.com_ref[:, :2], axis=-1)
     assert np.isfinite(tr.com_pos).all()
@@ -52,3 +58,40 @@ def test_wholebody_first_step_and_landing():
     assert tr.pose_l[200:270, 5].max() < 0.01
     # the robot moved forward through the step
     assert tr.com_pos[-1, 0] > tr.com_pos[150, 0] + 0.01
+
+
+def test_centroidal_plant_hw_cross_validation(wb_walk300):
+    """VERDICT r4 #4: the centroidal plant's hand-fitted hw constants
+    (sim/plant.py plant_hw_compliance/shed, calibrated against the
+    reference's cuhw.txt) cross-validated against OUR OWN articulated
+    rollout over the first full step — the window both stacks complete.
+
+    What must agree (and does):
+    * scale — the articulated robot's |hw| through the first swing and
+      landing stays in the reference band (cuhw.txt peaks ~2.4);
+    * the landing transient — both plants spike at touch-down
+      (centroidal 1.9, articulated ~1.2-2.4: within 2.5x);
+    * the shed — both bleed most of the landing hw during the following
+      double support (the behavior plant_hw_shed models).
+
+    What structurally differs: during the SWING the articulated robot
+    carries ~1.3 of limb momentum the 20-dim centroidal model does not
+    represent (corpus |hw| < 0.05 there) — exactly the model-abstraction
+    gap the round-5 whole-body divergence diagnosis identified
+    (sim/wholebody_loop.py status note)."""
+    import os
+    tr = wb_walk300
+    hw_wb = np.linalg.norm(tr.hw, axis=1)
+    rec = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "walk_x0.npz"))
+    hw_cl = np.linalg.norm(rec["x0"][:300, 6:9], axis=1)
+
+    # scale: articulated swing+landing |hw| within the reference band
+    peak_wb = hw_wb[200:285].max()
+    assert 0.5 < peak_wb < 3.0, peak_wb
+    # landing transient comparable between the two plants
+    peak_cl = hw_cl[250:285].max()
+    assert peak_cl / 2.5 < peak_wb < peak_cl * 2.5, (peak_wb, peak_cl)
+    # both shed during the post-landing double support
+    assert hw_wb[295] < 0.6 * peak_wb, (hw_wb[295], peak_wb)
+    assert hw_cl[299] < 0.6 * peak_cl, (hw_cl[299], peak_cl)
